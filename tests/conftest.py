@@ -1,0 +1,21 @@
+"""Test configuration: run on a virtual 8-device CPU mesh with x64 enabled.
+
+The real TPU is reserved for benchmarks (bench.py); unit tests exercise the
+same code paths on CPU where float64 is available for tight geometric
+tolerances, and an 8-device virtual mesh validates all sharded code.
+
+Note: the environment's sitecustomize force-registers the axon TPU platform
+and overrides JAX_PLATFORMS, so the override must go through jax.config
+*after* importing jax but before any computation.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
