@@ -1,0 +1,295 @@
+"""Two-view geometric verification as vectorized hypothesis scoring.
+
+reference behavior: src/colmap/estimators/two_view_geometry.{h,cc} — the
+calibrated path estimates E + F + H, the uncalibrated path F + H, and a
+decision tree on inlier ratios picks the configuration
+(CALIBRATED / UNCALIBRATED / PLANAR_OR_PANORAMIC / DEGENERATE, :57-118).
+Unlike the reference's per-pair CPU RANSAC loops, every model family here is
+the batched hypothesis-scoring RANSAC from colmap_tpu.optim.ransac, so a
+single device program verifies one pair; pairs are trivially batchable by
+vmapping at a fixed match-count pad.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from colmap_tpu.estimators.solvers.epipolar import (
+    essential_eight_point,
+    fundamental_eight_point,
+    fundamental_seven_point,
+    homography_dlt,
+    homography_transfer_error,
+)
+from colmap_tpu.geometry.essential import (
+    pose_from_essential_matrix,
+    sampson_error,
+    squared_epipolar_line_distance,
+)
+from colmap_tpu.geometry.triangulation import triangulation_angle
+from colmap_tpu.optim.ransac import RansacOptions, ransac
+from colmap_tpu.scene.types import (
+    Camera,
+    Pose,
+    TwoViewGeometry,
+    TwoViewGeometryConfig,
+)
+from colmap_tpu.sensor import models as camera_models
+
+
+@dataclasses.dataclass
+class TwoViewGeometryOptions:
+    """reference: estimators/two_view_geometry.h:45-131."""
+
+    min_num_inliers: int = 15
+    min_inlier_ratio: float = 0.0
+    min_E_F_inlier_ratio: float = 0.95
+    max_H_inlier_ratio: float = 0.8
+    watermark_min_inlier_ratio: float = 0.7
+    watermark_border_size: float = 0.1
+    detect_watermark: bool = True
+    watermark_detection_max_error: float = 4.0
+    force_H_use: bool = False
+    compute_relative_pose: bool = False
+    ransac: RansacOptions = dataclasses.field(
+        default_factory=lambda: RansacOptions(
+            max_error=4.0,
+            confidence=0.999,
+            min_num_trials=100,
+            max_num_trials=10000,
+            min_inlier_ratio=0.25,
+            batch_size=128,
+        )
+    )
+
+
+def _ransac_f(key, x1, x2, mask, options: RansacOptions):
+    """Fundamental-matrix LO-RANSAC with 7pt minimal + 8pt refit."""
+    n = x1.shape[0]
+
+    def sample_estimate(idxs):
+        s1, s2 = x1[idxs], x2[idxs]  # (K, 7, 2)
+        Fs = jax.vmap(fundamental_seven_point)(s1, s2)  # (K, 3, 3, 3)
+        return Fs.reshape(-1, 3, 3)
+
+    def residual(models):
+        return squared_epipolar_line_distance(
+            models[:, None], x1[None], x2[None]
+        )
+
+    def refine(model, weights):
+        return fundamental_eight_point(x1, x2, weights)
+
+    return ransac(key, n, 7, sample_estimate, residual, options, mask, refine)
+
+
+def _ransac_e(key, x1n, x2n, mask, options: RansacOptions):
+    """Essential-matrix LO-RANSAC (normalized coords), 8pt minimal + refit."""
+    n = x1n.shape[0]
+
+    def sample_estimate(idxs):
+        s1, s2 = x1n[idxs], x2n[idxs]
+        return jax.vmap(essential_eight_point)(s1, s2)
+
+    def residual(models):
+        return sampson_error(models[:, None], x1n[None], x2n[None])
+
+    def refine(model, weights):
+        return essential_eight_point(x1n, x2n, weights)
+
+    return ransac(key, n, 8, sample_estimate, residual, options, mask, refine)
+
+
+def _ransac_h(key, x1, x2, mask, options: RansacOptions):
+    n = x1.shape[0]
+
+    def sample_estimate(idxs):
+        s1, s2 = x1[idxs], x2[idxs]
+        return jax.vmap(homography_dlt)(s1, s2)
+
+    def residual(models):
+        return homography_transfer_error(models[:, None], x1[None], x2[None])
+
+    def refine(model, weights):
+        return homography_dlt(x1, x2, weights)
+
+    return ransac(key, n, 4, sample_estimate, residual, options, mask, refine)
+
+
+def _detect_watermark(x1, x2, inlier_mask, w1, h1, w2, h2, opt) -> bool:
+    """reference behavior: two_view_geometry.cc DetectWatermark (:70-88):
+    inliers in the border region moving by a pure translation."""
+    inl = np.asarray(inlier_mask)
+    if inl.sum() == 0:
+        return False
+    p1 = np.asarray(x1)[inl]
+    p2 = np.asarray(x2)[inl]
+    diff = p2 - p1
+    med = np.median(diff, axis=0)
+    trans_ok = np.sum((diff - med) ** 2, axis=1) <= opt.watermark_detection_max_error**2
+    if trans_ok.mean() < opt.watermark_min_inlier_ratio:
+        return False
+    b1 = opt.watermark_border_size * np.sqrt(w1 * h1)
+    b2 = opt.watermark_border_size * np.sqrt(w2 * h2)
+    in_border1 = (
+        (p1[:, 0] < b1) | (p1[:, 0] > w1 - b1) | (p1[:, 1] < b1) | (p1[:, 1] > h1 - b1)
+    )
+    in_border2 = (
+        (p2[:, 0] < b2) | (p2[:, 0] > w2 - b2) | (p2[:, 1] < b2) | (p2[:, 1] > h2 - b2)
+    )
+    border_ratio = np.mean(in_border1 & in_border2 & trans_ok)
+    return bool(border_ratio > opt.watermark_min_inlier_ratio)
+
+
+def estimate_two_view_geometry(
+    camera1: Camera,
+    points1: np.ndarray,
+    camera2: Camera,
+    points2: np.ndarray,
+    matches: np.ndarray,
+    options: Optional[TwoViewGeometryOptions] = None,
+    seed: int = 0,
+) -> TwoViewGeometry:
+    """Estimate and classify the two-view geometry of a matched image pair.
+
+    Args:
+        points1/points2: (N1, 2), (N2, 2) keypoint coordinates.
+        matches: (M, 2) uint32 index pairs into points1/points2.
+    """
+    if options is None:
+        options = TwoViewGeometryOptions()
+    g = TwoViewGeometry()
+    if len(matches) < options.min_num_inliers:
+        g.config = int(TwoViewGeometryConfig.DEGENERATE)
+        return g
+
+    x1 = jnp.asarray(np.asarray(points1)[matches[:, 0]], dtype=jnp.float64)
+    x2 = jnp.asarray(np.asarray(points2)[matches[:, 1]], dtype=jnp.float64)
+    mask = jnp.ones(len(matches), dtype=bool)
+    key = jax.random.PRNGKey(seed)
+    kf, ke, kh = jax.random.split(key, 3)
+
+    calibrated = camera1.has_prior_focal_length and camera2.has_prior_focal_length
+
+    # F and H always; E when calibrated.
+    res_f = _ransac_f(kf, x1, x2, mask, options.ransac)
+    res_h = _ransac_h(kh, x1, x2, mask, options.ransac)
+
+    res_e = None
+    if calibrated:
+        x1n, _ = camera_models.cam_from_img(camera1.model_id, jnp.asarray(camera1.params), x1)
+        x2n, _ = camera_models.cam_from_img(camera2.model_id, jnp.asarray(camera2.params), x2)
+        # Normalized-space threshold.
+        thresh_n = 0.5 * (
+            camera1.cam_from_img_threshold(options.ransac.max_error)
+            + camera2.cam_from_img_threshold(options.ransac.max_error)
+        )
+        e_opts = dataclasses.replace(options.ransac, max_error=float(thresh_n))
+        res_e = _ransac_e(ke, x1n, x2n, mask, e_opts)
+
+    num_f = int(res_f.num_inliers)
+    num_h = int(res_h.num_inliers)
+    num_e = int(res_e.num_inliers) if res_e is not None else 0
+
+    if options.force_H_use:
+        best_mask, best_num = res_h.inlier_mask, num_h
+        g.config = int(TwoViewGeometryConfig.PLANAR_OR_PANORAMIC)
+        g.H = np.asarray(res_h.model)
+    elif (
+        calibrated
+        and num_e >= options.min_num_inliers
+        and num_e > options.min_E_F_inlier_ratio * num_f
+    ):
+        # Calibrated configuration; E is trusted.
+        best_mask, best_num = res_e.inlier_mask, num_e
+        g.config = int(TwoViewGeometryConfig.CALIBRATED)
+        g.E = np.asarray(res_e.model)
+        g.F = np.asarray(fundamental_eight_point(x1, x2, res_e.inlier_mask.astype(x1.dtype)))
+        if num_h > options.max_H_inlier_ratio * num_e:
+            g.config = int(TwoViewGeometryConfig.PLANAR_OR_PANORAMIC)
+            g.H = np.asarray(res_h.model)
+    elif num_f >= options.min_num_inliers:
+        best_mask, best_num = res_f.inlier_mask, num_f
+        g.config = int(TwoViewGeometryConfig.UNCALIBRATED)
+        g.F = np.asarray(res_f.model)
+        if num_h > options.max_H_inlier_ratio * num_f:
+            g.config = int(TwoViewGeometryConfig.PLANAR_OR_PANORAMIC)
+            g.H = np.asarray(res_h.model)
+    elif num_h >= options.min_num_inliers:
+        best_mask, best_num = res_h.inlier_mask, num_h
+        g.config = int(TwoViewGeometryConfig.PLANAR_OR_PANORAMIC)
+        g.H = np.asarray(res_h.model)
+    else:
+        g.config = int(TwoViewGeometryConfig.DEGENERATE)
+        return g
+
+    if best_num < options.min_num_inliers or (
+        options.min_inlier_ratio > 0
+        and best_num < options.min_inlier_ratio * len(matches)
+    ):
+        g.config = int(TwoViewGeometryConfig.DEGENERATE)
+        return g
+
+    if options.detect_watermark and _detect_watermark(
+        x1, x2, best_mask,
+        camera1.width, camera1.height, camera2.width, camera2.height, options,
+    ):
+        g.config = int(TwoViewGeometryConfig.WATERMARK)
+
+    g.inlier_matches = np.asarray(matches)[np.asarray(best_mask)].astype(np.uint32)
+
+    if options.compute_relative_pose and g.config in (
+        int(TwoViewGeometryConfig.CALIBRATED),
+        int(TwoViewGeometryConfig.UNCALIBRATED),
+        int(TwoViewGeometryConfig.PLANAR_OR_PANORAMIC),
+    ):
+        _recover_pose(g, camera1, points1, camera2, points2)
+
+    return g
+
+
+def _recover_pose(g: TwoViewGeometry, camera1, points1, camera2, points2):
+    """Decompose E (or F upgraded by intrinsics) into a relative pose.
+
+    reference behavior: EstimateTwoViewGeometryPose (two_view_geometry.cc:929).
+    """
+    from colmap_tpu.geometry.essential import essential_from_fundamental
+
+    if len(g.inlier_matches) < 8:
+        return
+    x1 = jnp.asarray(
+        np.asarray(points1)[g.inlier_matches[:, 0]], dtype=jnp.float64
+    )
+    x2 = jnp.asarray(
+        np.asarray(points2)[g.inlier_matches[:, 1]], dtype=jnp.float64
+    )
+    x1n, _ = camera_models.cam_from_img(camera1.model_id, jnp.asarray(camera1.params), x1)
+    x2n, _ = camera_models.cam_from_img(camera2.model_id, jnp.asarray(camera2.params), x2)
+    if g.E is not None:
+        E = jnp.asarray(g.E)
+    else:
+        # Upgrade F with the (possibly unreliable) intrinsics.
+        from colmap_tpu.scene.synthetic import _calibration_matrix
+
+        K1 = jnp.asarray(_calibration_matrix(camera1))
+        K2 = jnp.asarray(_calibration_matrix(camera2))
+        E = essential_from_fundamental(K2, jnp.asarray(g.F), K1)
+    R, t, points3D, num_valid, ok = pose_from_essential_matrix(E, x1n, x2n)
+    from colmap_tpu.geometry import rotation as rot
+
+    quat = np.asarray(rot.rotmat_to_quat(R))
+    g.cam2_from_cam1 = Pose(quat, np.asarray(t))
+    # Median triangulation angle over valid points.
+    c1 = jnp.zeros(3, dtype=x1.dtype)
+    c2 = -jnp.einsum("ij,i->j", R, t)
+    angles = triangulation_angle(c1, c2, points3D)
+    ok_np = np.asarray(ok)
+    if ok_np.any():
+        g.tri_angle = float(np.median(np.asarray(angles)[ok_np]))
+    else:
+        g.tri_angle = 0.0

@@ -1,0 +1,165 @@
+"""Tests for the vectorized RANSAC harness and two-view verification.
+
+reference test strategy: optim/ransac_test.cc, estimators/two_view_geometry
+usage in controllers/feature_matching tests.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from colmap_tpu.estimators.two_view_geometry import (
+    TwoViewGeometryOptions,
+    estimate_two_view_geometry,
+)
+from colmap_tpu.optim.ransac import RansacOptions, ransac
+from colmap_tpu.scene.types import Camera, TwoViewGeometryConfig
+from colmap_tpu.estimators.solvers.epipolar import (
+    homography_dlt,
+    homography_transfer_error,
+)
+
+
+def test_ransac_homography_with_outliers():
+    rng = np.random.default_rng(0)
+    H_gt = np.array([[1.2, 0.1, 10.0], [-0.05, 0.9, -5.0], [1e-4, 2e-4, 1.0]])
+    n_in, n_out = 120, 80
+    x1_in = rng.uniform(0, 800, (n_in, 2))
+    p1 = np.concatenate([x1_in, np.ones((n_in, 1))], axis=1) @ H_gt.T
+    x2_in = p1[:, :2] / p1[:, 2:]
+    x1_out = rng.uniform(0, 800, (n_out, 2))
+    x2_out = rng.uniform(0, 800, (n_out, 2))
+    x1 = jnp.asarray(np.concatenate([x1_in, x1_out]))
+    x2 = jnp.asarray(np.concatenate([x2_in, x2_out]))
+
+    def sample_estimate(idxs):
+        return jax.vmap(homography_dlt)(x1[idxs], x2[idxs])
+
+    def residual(models):
+        return homography_transfer_error(models[:, None], x1[None], x2[None])
+
+    def refine(model, weights):
+        return homography_dlt(x1, x2, weights)
+
+    res = ransac(
+        jax.random.PRNGKey(0), len(x1), 4, sample_estimate, residual,
+        RansacOptions(max_error=2.0, batch_size=64), local_refine_fn=refine,
+    )
+    assert bool(res.success)
+    inl = np.asarray(res.inlier_mask)
+    # All true inliers recovered, almost no false positives.
+    assert inl[:n_in].mean() > 0.99
+    assert inl[n_in:].mean() < 0.05
+
+
+def _make_pair(rng, calibrated, n_points=150, outlier_ratio=0.3):
+    f = 700.0
+    w, h = 800, 600
+    cam1 = Camera.create(1, 1, f, w, h)  # PINHOLE
+    cam2 = Camera.create(2, 1, f, w, h)
+    cam1.has_prior_focal_length = calibrated
+    cam2.has_prior_focal_length = calibrated
+    # Relative pose with sideways translation.
+    from colmap_tpu.geometry import rotation as rot
+    from colmap_tpu.scene.types import Pose
+
+    angle = 0.15
+    q = np.asarray(rot.quat_from_axis_angle(jnp.asarray([0.0, 1.0, 0.0]), angle))
+    t = np.array([1.0, 0.1, 0.05])
+    pose21 = Pose(q, t)
+    X = rng.uniform(-3, 3, (n_points, 3))
+    X[:, 2] = rng.uniform(4, 12, n_points)
+    x1 = X[:, :2] / X[:, 2:] * f + np.array([w / 2, h / 2])
+    Xc2 = pose21.apply(X)
+    x2 = Xc2[:, :2] / Xc2[:, 2:] * f + np.array([w / 2, h / 2])
+    ok = (
+        (x1[:, 0] > 0) & (x1[:, 0] < w) & (x1[:, 1] > 0) & (x1[:, 1] < h)
+        & (x2[:, 0] > 0) & (x2[:, 0] < w) & (x2[:, 1] > 0) & (x2[:, 1] < h)
+    )
+    x1, x2 = x1[ok], x2[ok]
+    n = len(x1)
+    n_out = int(n * outlier_ratio)
+    x2_noise = x2.copy()
+    out_idx = rng.choice(n, n_out, replace=False)
+    x2_noise[out_idx] = rng.uniform(0, [w, h], (n_out, 2))
+    matches = np.stack([np.arange(n), np.arange(n)], axis=1).astype(np.uint32)
+    return cam1, x1, cam2, x2_noise, matches, out_idx, pose21
+
+
+def test_two_view_geometry_calibrated():
+    rng = np.random.default_rng(1)
+    cam1, x1, cam2, x2, matches, out_idx, pose21 = _make_pair(rng, calibrated=True)
+    g = estimate_two_view_geometry(
+        cam1, x1, cam2, x2, matches,
+        TwoViewGeometryOptions(compute_relative_pose=True),
+    )
+    assert g.config == int(TwoViewGeometryConfig.CALIBRATED)
+    inliers = set(map(tuple, g.inlier_matches))
+    outset = set(int(i) for i in out_idx)
+    n_total = len(matches) - len(out_idx)
+    # Most true inliers found; outliers rejected.
+    n_true = sum(1 for (a, b) in inliers if a not in outset)
+    n_false = sum(1 for (a, b) in inliers if a in outset)
+    assert n_true > 0.9 * n_total
+    assert n_false < 0.05 * len(out_idx) + 2
+    # Relative pose recovered.
+    assert g.cam2_from_cam1 is not None
+    q_gt = pose21.quat / np.linalg.norm(pose21.quat)
+    q_est = g.cam2_from_cam1.quat
+    assert min(np.abs(q_est - q_gt).max(), np.abs(q_est + q_gt).max()) < 1e-2
+    t_gt = pose21.t / np.linalg.norm(pose21.t)
+    assert np.abs(g.cam2_from_cam1.t - t_gt).max() < 1e-2
+    assert g.tri_angle > 0.01
+
+
+def test_two_view_geometry_uncalibrated():
+    rng = np.random.default_rng(2)
+    cam1, x1, cam2, x2, matches, out_idx, _ = _make_pair(rng, calibrated=False)
+    g = estimate_two_view_geometry(cam1, x1, cam2, x2, matches)
+    assert g.config == int(TwoViewGeometryConfig.UNCALIBRATED)
+    assert len(g.inlier_matches) > 0.8 * (len(matches) - len(out_idx))
+
+
+def test_two_view_geometry_planar():
+    """Pure-rotation pair must be classified planar/panoramic."""
+    rng = np.random.default_rng(3)
+    f, w, h = 700.0, 800, 600
+    cam1 = Camera.create(1, 1, f, w, h)
+    cam2 = Camera.create(2, 1, f, w, h)
+    cam1.has_prior_focal_length = cam2.has_prior_focal_length = True
+    from colmap_tpu.geometry import rotation as rot
+    from colmap_tpu.scene.types import Pose
+
+    q = np.asarray(rot.quat_from_axis_angle(jnp.asarray([0.0, 1.0, 0.0]), 0.1))
+    pose21 = Pose(q, np.zeros(3))  # pure rotation
+    X = rng.uniform(-3, 3, (200, 3))
+    X[:, 2] = rng.uniform(4, 12, 200)
+    x1 = X[:, :2] / X[:, 2:] * f + np.array([w / 2, h / 2])
+    Xc2 = pose21.apply(X)
+    x2 = Xc2[:, :2] / Xc2[:, 2:] * f + np.array([w / 2, h / 2])
+    ok = (
+        (x1[:, 0] > 0) & (x1[:, 0] < w) & (x1[:, 1] > 0) & (x1[:, 1] < h)
+        & (x2[:, 0] > 0) & (x2[:, 0] < w) & (x2[:, 1] > 0) & (x2[:, 1] < h)
+    )
+    x1, x2 = x1[ok], x2[ok]
+    matches = np.stack([np.arange(len(x1))] * 2, axis=1).astype(np.uint32)
+    g = estimate_two_view_geometry(cam1, x1, cam2, x2, matches)
+    assert g.config in (
+        int(TwoViewGeometryConfig.PLANAR_OR_PANORAMIC),
+        int(TwoViewGeometryConfig.PANORAMIC),
+    )
+
+
+def test_two_view_geometry_degenerate():
+    rng = np.random.default_rng(4)
+    cam1 = Camera.create(1, 1, 700.0, 800, 600)
+    cam2 = Camera.create(2, 1, 700.0, 800, 600)
+    x1 = rng.uniform(0, 800, (60, 2))
+    x2 = rng.uniform(0, 800, (60, 2))  # pure noise
+    matches = np.stack([np.arange(60)] * 2, axis=1).astype(np.uint32)
+    g = estimate_two_view_geometry(cam1, x1, cam2, x2, matches)
+    assert g.config == int(TwoViewGeometryConfig.DEGENERATE)
+
+    # Too few matches.
+    g = estimate_two_view_geometry(cam1, x1[:5], cam2, x2[:5], matches[:5])
+    assert g.config == int(TwoViewGeometryConfig.DEGENERATE)
