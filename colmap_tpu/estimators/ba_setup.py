@@ -1,0 +1,109 @@
+"""Build BAProblem arrays from a Reconstruction and write results back.
+
+reference behavior: the problem-construction role of
+CreateDefaultBundleAdjuster + BundleAdjustmentConfig
+(estimators/bundle_adjustment.h:46-233) and the SoA upload of the Caspar
+backend (bundle_adjustment_caspar.h:71-100).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from colmap_tpu.estimators.bundle_adjustment import BAProblem
+from colmap_tpu.scene.reconstruction import Reconstruction
+from colmap_tpu.scene.types import INVALID_POINT3D, Pose
+
+
+def problem_from_reconstruction(
+    recon: Reconstruction,
+    image_ids: Optional[List[int]] = None,
+    point_ids: Optional[List[int]] = None,
+    dtype=jnp.float64,
+) -> Tuple[BAProblem, Dict]:
+    """Pack (a subset of) a reconstruction into BAProblem arrays.
+
+    Only observations where both the image and the 3D point are selected are
+    included. Returns (problem, index) where index maps array rows back to
+    ids: {"image_ids", "camera_ids", "point_ids", "model_id"}.
+    """
+    if image_ids is None:
+        image_ids = recon.reg_image_ids()
+    image_ids = list(image_ids)
+    img_row = {iid: i for i, iid in enumerate(image_ids)}
+
+    camera_ids = sorted({recon.images[i].camera_id for i in image_ids})
+    cam_row = {cid: i for i, cid in enumerate(camera_ids)}
+    model_ids = {recon.cameras[c].model_id for c in camera_ids}
+    if len(model_ids) != 1:
+        raise NotImplementedError("mixed camera models per problem not yet supported")
+    model_id = model_ids.pop()
+
+    if point_ids is None:
+        pid_set = set()
+        for iid in image_ids:
+            for pid in recon.images[iid].points2D_p3d:
+                if pid != INVALID_POINT3D:
+                    pid_set.add(int(pid))
+        point_ids = sorted(pid_set)
+    point_ids = list(point_ids)
+    pt_row = {pid: i for i, pid in enumerate(point_ids)}
+
+    quat = np.stack([recon.cam_from_world(i).quat for i in image_ids])
+    t = np.stack([recon.cam_from_world(i).t for i in image_ids])
+    cam_params = np.stack([recon.cameras[c].params for c in camera_ids])
+    points = np.stack([recon.points3D[p].xyz for p in point_ids]) if point_ids else np.zeros((0, 3))
+
+    obs_frame, obs_cam, obs_point, obs_xy = [], [], [], []
+    for iid in image_ids:
+        image = recon.images[iid]
+        fi = img_row[iid]
+        ci = cam_row[image.camera_id]
+        for p2d_idx, pid in enumerate(image.points2D_p3d):
+            if pid == INVALID_POINT3D or int(pid) not in pt_row:
+                continue
+            obs_frame.append(fi)
+            obs_cam.append(ci)
+            obs_point.append(pt_row[int(pid)])
+            obs_xy.append(image.points2D_xy[p2d_idx])
+
+    n_obs = len(obs_frame)
+    problem = BAProblem(
+        quat=jnp.asarray(quat, dtype=dtype),
+        t=jnp.asarray(t, dtype=dtype),
+        cam_params=jnp.asarray(cam_params, dtype=dtype),
+        points=jnp.asarray(points, dtype=dtype),
+        obs_frame=jnp.asarray(np.array(obs_frame, dtype=np.int32)),
+        obs_cam=jnp.asarray(np.array(obs_cam, dtype=np.int32)),
+        obs_point=jnp.asarray(np.array(obs_point, dtype=np.int32)),
+        obs_xy=jnp.asarray(np.array(obs_xy, dtype=np.float64).reshape(n_obs, 2), dtype=dtype),
+        obs_w=jnp.ones(n_obs, dtype=dtype),
+    )
+    index = {
+        "image_ids": image_ids,
+        "camera_ids": camera_ids,
+        "point_ids": point_ids,
+        "model_id": int(model_id),
+    }
+    return problem, index
+
+
+def update_reconstruction(recon: Reconstruction, problem: BAProblem, index: Dict):
+    """Write optimized poses / intrinsics / points back into the scene."""
+    for row, iid in enumerate(index["image_ids"]):
+        pose = Pose(
+            np.asarray(problem.quat[row], dtype=np.float64),
+            np.asarray(problem.t[row], dtype=np.float64),
+        )
+        recon.set_cam_from_world(iid, pose.normalize())
+    for row, cid in enumerate(index["camera_ids"]):
+        n = len(recon.cameras[cid].params)
+        recon.cameras[cid].params = np.asarray(
+            problem.cam_params[row][:n], dtype=np.float64
+        )
+    pts = np.asarray(problem.points, dtype=np.float64)
+    for row, pid in enumerate(index["point_ids"]):
+        recon.points3D[pid].xyz = pts[row]
