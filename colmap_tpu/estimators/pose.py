@@ -1,0 +1,194 @@
+"""Absolute pose estimation and refinement.
+
+reference behavior: src/colmap/estimators/pose.h:47-148 —
+EstimateAbsolutePose (LO-RANSAC over P3P with optional focal-length search)
+and RefineAbsolutePose (Ceres small problem → here a vmapped LM using the
+shared BA machinery on a single-pose problem).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from colmap_tpu.estimators import bundle_adjustment as ba
+from colmap_tpu.estimators.solvers.p3p import kabsch, p3p
+from colmap_tpu.geometry import rotation as rot
+from colmap_tpu.optim.ransac import RansacOptions, ransac
+from colmap_tpu.scene.types import Camera, Pose
+from colmap_tpu.sensor import models as camera_models
+
+
+@dataclasses.dataclass
+class AbsolutePoseOptions:
+    """reference: estimators/pose.h:47-76 (AbsolutePoseEstimationOptions)."""
+
+    max_error_px: float = 12.0
+    min_inlier_ratio: float = 0.1
+    confidence: float = 0.9999
+    min_num_trials: int = 100
+    max_num_trials: int = 10000
+    batch_size: int = 64
+    estimate_focal_length: bool = False
+    # Focal search grid (reference: kFocalLengthRatios in pose.cc).
+    num_focal_samples: int = 30
+    min_focal_ratio: float = 0.2
+    max_focal_ratio: float = 5.0
+
+
+def estimate_absolute_pose(
+    camera: Camera,
+    points2D: np.ndarray,
+    points3D: np.ndarray,
+    options: Optional[AbsolutePoseOptions] = None,
+    seed: int = 0,
+) -> Tuple[Optional[Pose], np.ndarray, Optional[float]]:
+    """LO-RANSAC P3P absolute pose from 2D-3D correspondences.
+
+    Returns (cam_from_world | None, inlier_mask, focal_scale | None).
+    """
+    if options is None:
+        options = AbsolutePoseOptions()
+    n = len(points2D)
+    if n < 4:
+        return None, np.zeros(n, dtype=bool), None
+
+    xy = jnp.asarray(np.asarray(points2D), dtype=jnp.float64)
+    X = jnp.asarray(np.asarray(points3D), dtype=jnp.float64)
+    params = jnp.asarray(camera.params)
+    model_id = int(camera.model_id)
+
+    # Normalized bearings once; the P3P estimator consumes rays and the
+    # residual reprojects through the true camera model.
+    rays, rays_valid = camera_models.cam_ray_from_img(model_id, params, xy)
+
+    # Threshold in normalized units (angle-ish): convert px -> normalized.
+    thresh_n = camera.cam_from_img_threshold(options.max_error_px)
+    uv, _ = camera_models.cam_from_img(model_id, params, xy)
+
+    def sample_estimate(idxs):
+        # idxs: (K, 3)
+        Rs, ts = jax.vmap(p3p)(X[idxs], rays[idxs])  # (K, 4, 3, 3), (K, 4, 3)
+        return Rs.reshape(-1, 3, 4 * 3).reshape(-1, 3, 3), ts.reshape(-1, 3)
+
+    def sample_estimate_packed(idxs):
+        Rs, ts = jax.vmap(p3p)(X[idxs], rays[idxs])
+        M = Rs.reshape(-1, 3, 3)
+        T = ts.reshape(-1, 3)
+        # Pack into (M, 3, 4).
+        return jnp.concatenate([M, T[:, :, None]], axis=-1)
+
+    def residual(models):
+        # models: (M, 3, 4). Project X into each and compare on the
+        # normalized plane (cheirality-aware).
+        R = models[..., :3]
+        t = models[..., 3]
+        Xc = jnp.einsum("mij,nj->mni", R, X) + t[:, None, :]
+        z = Xc[..., 2]
+        behind = z < 1e-8
+        safe_z = jnp.where(behind, 1.0, z)
+        proj = Xc[..., :2] / safe_z[..., None]
+        err = jnp.sum((proj - uv[None]) ** 2, axis=-1)
+        return jnp.where(behind, jnp.inf, err)
+
+    def refine(model, weights):
+        # Weighted EPnP-lite: minimize alg. error via Kabsch on the
+        # back-projected camera points at current depths (cheap LO step).
+        R = model[..., :3]
+        t = model[..., 3]
+        Xc = jnp.einsum("ij,nj->ni", R, X) + t
+        depth = jnp.maximum(Xc[..., 2], 1e-6)
+        ray_full = jnp.concatenate([uv, jnp.ones_like(uv[..., :1])], axis=-1)
+        target = ray_full * depth[..., None]
+        R_new, t_new = kabsch(X, target, weights)
+        return jnp.concatenate([R_new, t_new[:, None]], axis=-1)
+
+    opts = RansacOptions(
+        max_error=float(thresh_n),
+        min_inlier_ratio=options.min_inlier_ratio,
+        confidence=options.confidence,
+        min_num_trials=options.min_num_trials,
+        max_num_trials=options.max_num_trials,
+        batch_size=options.batch_size,
+    )
+    mask = rays_valid
+    res = ransac(
+        jax.random.PRNGKey(seed), n, 3, sample_estimate_packed, residual,
+        opts, mask=mask, local_refine_fn=refine,
+    )
+    if not bool(res.success):
+        return None, np.zeros(n, dtype=bool), None
+    model = np.asarray(res.model)
+    R, t = model[:, :3], model[:, 3]
+    quat = np.asarray(rot.rotmat_to_quat(jnp.asarray(R)))
+    return Pose(quat, t), np.asarray(res.inlier_mask), None
+
+
+@dataclasses.dataclass
+class RefinePoseOptions:
+    max_iterations: int = 30
+    loss: str = "cauchy"
+    loss_scale: float = 1.0
+    refine_focal_length: bool = False
+    refine_extra_params: bool = False
+
+
+def refine_absolute_pose(
+    camera: Camera,
+    cam_from_world: Pose,
+    points2D: np.ndarray,
+    points3D: np.ndarray,
+    inlier_mask: Optional[np.ndarray] = None,
+    options: Optional[RefinePoseOptions] = None,
+) -> Tuple[Pose, Camera, bool]:
+    """LM refinement of a single pose (and optionally intrinsics) over its
+    2D-3D inliers, reusing the BA core with constant points.
+
+    reference behavior: RefineAbsolutePose (estimators/pose.cc).
+    """
+    if options is None:
+        options = RefinePoseOptions()
+    n = len(points2D)
+    if inlier_mask is None:
+        inlier_mask = np.ones(n, dtype=bool)
+    w = inlier_mask.astype(np.float64)
+
+    problem = ba.BAProblem(
+        quat=jnp.asarray(cam_from_world.quat, dtype=jnp.float64)[None],
+        t=jnp.asarray(cam_from_world.t, dtype=jnp.float64)[None],
+        cam_params=jnp.asarray(camera.params, dtype=jnp.float64)[None],
+        points=jnp.asarray(np.asarray(points3D), dtype=jnp.float64),
+        obs_frame=jnp.zeros(n, dtype=jnp.int32),
+        obs_cam=jnp.zeros(n, dtype=jnp.int32),
+        obs_point=jnp.arange(n, dtype=jnp.int32),
+        obs_xy=jnp.asarray(np.asarray(points2D), dtype=jnp.float64),
+        obs_w=jnp.asarray(w),
+    )
+    ba_options = ba.BAOptions(
+        max_iterations=options.max_iterations,
+        pcg_iterations=12,
+        loss=options.loss,
+        loss_scale=options.loss_scale,
+        refine_focal_length=options.refine_focal_length,
+        refine_principal_point=False,
+        refine_extra_params=options.refine_extra_params,
+        refine_points=False,
+    )
+    model_id = int(camera.model_id)
+    masks = ba.default_masks(problem, model_id, ba_options)
+    solved, summary = ba.solve(problem, model_id, ba_options, masks)
+    ok = summary["final_cost"] <= summary["initial_cost"]
+    new_pose = Pose(
+        np.asarray(solved.quat[0], dtype=np.float64),
+        np.asarray(solved.t[0], dtype=np.float64),
+    ).normalize()
+    new_camera = camera
+    if options.refine_focal_length or options.refine_extra_params:
+        new_camera = dataclasses.replace(
+            camera, params=np.asarray(solved.cam_params[0][: len(camera.params)])
+        )
+    return new_pose, new_camera, ok

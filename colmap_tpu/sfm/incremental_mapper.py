@@ -1,0 +1,512 @@
+"""Incremental mapper: registration state machine.
+
+reference behavior: src/colmap/sfm/incremental_mapper.h:65 and
+incremental_mapper.cc — initial pair search + registration, next-image
+ranking, absolute-pose registration via 2D-3D correspondences over the
+correspondence graph, local/global bundle adjustment, and observation
+filtering (ObservationManager, sfm/observation_manager.h:50). Host Python
+drives the loop; every heavy step (two-view RANSAC, P3P RANSAC, pose
+refinement, triangulation, LM+Schur BA) is a batched device call.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Set, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from colmap_tpu.estimators import bundle_adjustment as ba
+from colmap_tpu.estimators.ba_setup import problem_from_reconstruction, update_reconstruction
+from colmap_tpu.estimators.pose import (
+    AbsolutePoseOptions,
+    RefinePoseOptions,
+    estimate_absolute_pose,
+    refine_absolute_pose,
+)
+from colmap_tpu.estimators.two_view_geometry import (
+    TwoViewGeometryOptions,
+    estimate_two_view_geometry,
+)
+from colmap_tpu.geometry.essential import triangulate_point_dlt
+from colmap_tpu.geometry.triangulation import triangulation_angle
+from colmap_tpu.scene.database_cache import DatabaseCache
+from colmap_tpu.scene.reconstruction import Reconstruction
+from colmap_tpu.scene.types import (
+    INVALID_POINT3D,
+    Camera,
+    Frame,
+    Image,
+    Pose,
+    Rig,
+    TrackElement,
+)
+from colmap_tpu.sensor import models as camera_models
+from colmap_tpu.sfm.incremental_triangulator import IncrementalTriangulator, TriangulatorOptions
+from colmap_tpu.utils.types import SensorType
+
+
+@dataclasses.dataclass
+class IncrementalMapperOptions:
+    """reference: incremental_mapper.h Options + incremental_pipeline.h."""
+
+    init_min_num_inliers: int = 100
+    init_max_error: float = 4.0
+    init_max_forward_motion: float = 0.95
+    init_min_tri_angle_deg: float = 16.0
+    abs_pose_max_error: float = 12.0
+    abs_pose_min_num_inliers: int = 30
+    abs_pose_min_inlier_ratio: float = 0.25
+    filter_max_reproj_error: float = 4.0
+    filter_min_tri_angle_deg: float = 1.5
+    max_reg_trials: int = 3
+    local_ba_num_images: int = 6
+    min_focal_length_ratio: float = 0.1
+    max_focal_length_ratio: float = 10.0
+    max_extra_param: float = 1.0
+    seed: int = 0
+
+
+class IncrementalMapper:
+    def __init__(self, cache: DatabaseCache):
+        self.cache = cache
+        self.recon: Optional[Reconstruction] = None
+        self.triangulator: Optional[IncrementalTriangulator] = None
+        self.num_reg_trials: Dict[int, int] = {}
+        self.filtered_frames: Set[int] = set()
+        self.existing_frame_ids: Set[int] = set()
+
+    # ------------------------------------------------------------------
+    def begin_reconstruction(self, recon: Reconstruction):
+        self.recon = recon
+        if not recon.cameras:
+            for cid, cam in self.cache.cameras.items():
+                recon.add_camera(dataclasses.replace(cam, params=cam.params.copy()))
+            for rid, rig in self.cache.rigs.items():
+                recon.add_rig(rig)
+            for fid, frame in self.cache.frames.items():
+                recon.add_frame(
+                    Frame(frame_id=frame.frame_id, rig_id=frame.rig_id,
+                          data_ids=list(frame.data_ids))
+                )
+            for iid, image in self.cache.images.items():
+                img = Image(
+                    image_id=image.image_id, name=image.name,
+                    camera_id=image.camera_id, frame_id=image.frame_id,
+                )
+                img.points2D_xy = image.points2D_xy.copy()
+                img.points2D_p3d = np.full(
+                    image.num_points2D(), INVALID_POINT3D, dtype=np.int64
+                )
+                recon.add_image(img)
+        self.existing_frame_ids = set(recon.reg_frame_ids())
+        self.triangulator = IncrementalTriangulator(
+            self.cache.correspondence_graph, recon
+        )
+
+    # ------------------------------------------------------------------
+    def find_initial_image_pair(
+        self, options: IncrementalMapperOptions
+    ) -> Optional[Tuple[int, int, Pose, np.ndarray]]:
+        """Rank pairs by correspondence count; verify geometry + tri angle.
+
+        reference behavior: FindInitialImagePair + EstimateInitialTwoViewGeometry
+        (incremental_mapper.cc:154).
+        """
+        graph = self.cache.correspondence_graph
+        pairs = sorted(graph.image_pairs(), key=lambda p: -p[2])
+        for (id1, id2, n_corr) in pairs:
+            if n_corr < options.init_min_num_inliers:
+                continue
+            if self.recon.is_image_registered(id1) or self.recon.is_image_registered(id2):
+                continue
+            result = self._estimate_initial_geometry(id1, id2, options)
+            if result is not None:
+                return (id1, id2) + result
+        return None
+
+    def _estimate_initial_geometry(self, id1, id2, options):
+        image1 = self.recon.images[id1]
+        image2 = self.recon.images[id2]
+        cam1 = self.recon.cameras[image1.camera_id]
+        cam2 = self.recon.cameras[image2.camera_id]
+        matches = self._matches_between(id1, id2)
+        if len(matches) < options.init_min_num_inliers:
+            return None
+        tv_opts = TwoViewGeometryOptions(compute_relative_pose=True)
+        tv_opts.ransac = dataclasses.replace(
+            tv_opts.ransac, max_error=options.init_max_error
+        )
+        # Initial pair estimation always goes through E (calibrated
+        # assumption with the prior/default focal).
+        cam1_c = dataclasses.replace(cam1, has_prior_focal_length=True)
+        cam2_c = dataclasses.replace(cam2, has_prior_focal_length=True)
+        g = estimate_two_view_geometry(
+            cam1_c, image1.points2D_xy, cam2_c, image2.points2D_xy, matches,
+            tv_opts, seed=options.seed,
+        )
+        from colmap_tpu.scene.types import TwoViewGeometryConfig
+
+        if g.config != int(TwoViewGeometryConfig.CALIBRATED):
+            return None
+        if len(g.inlier_matches) < options.init_min_num_inliers:
+            return None
+        if g.cam2_from_cam1 is None:
+            return None
+        if np.rad2deg(g.tri_angle) < options.init_min_tri_angle_deg:
+            return None
+        # Reject forward motion (poorly conditioned): |tz|/|t|.
+        t = g.cam2_from_cam1.t
+        if abs(t[2]) / max(np.linalg.norm(t), 1e-12) > options.init_max_forward_motion:
+            return None
+        return (g.cam2_from_cam1, g.inlier_matches)
+
+    def _matches_between(self, id1, id2) -> np.ndarray:
+        """Inlier matches between two images from the correspondence graph."""
+        graph = self.cache.correspondence_graph
+        offsets, data_img, data_idx = graph.correspondence_arrays(id1)
+        rows = []
+        sel = data_img == id2
+        pt_idx = np.repeat(
+            np.arange(len(offsets) - 1), np.diff(offsets)
+        )
+        rows = np.stack([pt_idx[sel], data_idx[sel]], axis=1)
+        return rows.astype(np.uint32)
+
+    # ------------------------------------------------------------------
+    def register_initial_image_pair(
+        self, id1: int, id2: int, cam2_from_cam1: Pose, inlier_matches: np.ndarray,
+        options: IncrementalMapperOptions,
+    ) -> bool:
+        """Set the first two poses and triangulate the inlier matches.
+
+        reference behavior: RegisterInitialImagePair (incremental_mapper.cc).
+        """
+        recon = self.recon
+        image1, image2 = recon.images[id1], recon.images[id2]
+        recon.set_cam_from_world(id1, Pose.identity())
+        recon.set_cam_from_world(id2, cam2_from_cam1.copy().normalize())
+        recon.register_frame(image1.frame_id)
+        recon.register_frame(image2.frame_id)
+        self.num_reg_trials[id1] = self.num_reg_trials.get(id1, 0) + 1
+        self.num_reg_trials[id2] = self.num_reg_trials.get(id2, 0) + 1
+
+        cam1 = recon.cameras[image1.camera_id]
+        cam2 = recon.cameras[image2.camera_id]
+        pose1 = recon.cam_from_world(id1)
+        pose2 = recon.cam_from_world(id2)
+        proj1 = jnp.asarray(pose1.matrix3x4())
+        proj2 = jnp.asarray(pose2.matrix3x4())
+        c1, c2 = pose1.projection_center(), pose2.projection_center()
+
+        xy1 = image1.points2D_xy[inlier_matches[:, 0]]
+        xy2 = image2.points2D_xy[inlier_matches[:, 1]]
+        uv1, ok1 = camera_models.cam_from_img(cam1.model_id, jnp.asarray(cam1.params), jnp.asarray(xy1))
+        uv2, ok2 = camera_models.cam_from_img(cam2.model_id, jnp.asarray(cam2.params), jnp.asarray(xy2))
+        X = np.asarray(triangulate_point_dlt(proj1, proj2, uv1, uv2))
+        angles = np.asarray(
+            triangulation_angle(jnp.asarray(c1), jnp.asarray(c2), jnp.asarray(X))
+        )
+        # Depth checks in both views.
+        P1, P2 = pose1.matrix3x4(), pose2.matrix3x4()
+        Xh = np.concatenate([X, np.ones((len(X), 1))], axis=1)
+        z1 = (Xh @ P1.T)[:, 2]
+        z2 = (Xh @ P2.T)[:, 2]
+        good = (
+            np.asarray(ok1) & np.asarray(ok2)
+            & (z1 > 0) & (z2 > 0)
+            & (np.rad2deg(angles) >= options.filter_min_tri_angle_deg)
+            & np.all(np.isfinite(X), axis=1)
+        )
+        n_created = 0
+        for i in np.nonzero(good)[0]:
+            p1_idx, p2_idx = int(inlier_matches[i, 0]), int(inlier_matches[i, 1])
+            if (
+                image1.points2D_p3d[p1_idx] != INVALID_POINT3D
+                or image2.points2D_p3d[p2_idx] != INVALID_POINT3D
+            ):
+                continue
+            recon.add_point3D(
+                X[i], [TrackElement(id1, p1_idx), TrackElement(id2, p2_idx)]
+            )
+            n_created += 1
+        return n_created >= options.init_min_num_inliers // 2
+
+    # ------------------------------------------------------------------
+    def find_next_images(self, options: IncrementalMapperOptions) -> List[int]:
+        """Rank unregistered images by number of visible triangulated points.
+
+        reference behavior: FindNextImages (incremental_mapper_impl.cc:86-321)
+        — the reference uses a visibility-pyramid uncertainty score; here the
+        first-order score (count of correspondences to triangulated points)
+        with the same candidate filtering.
+        """
+        graph = self.cache.correspondence_graph
+        scores = []
+        for image_id, image in self.recon.images.items():
+            if self.recon.is_image_registered(image_id):
+                continue
+            if self.num_reg_trials.get(image_id, 0) >= options.max_reg_trials:
+                continue
+            if not graph.exists_image(image_id):
+                continue
+            num_visible = self._count_visible_points(image_id)
+            if num_visible > 0:
+                scores.append((num_visible, image_id))
+        scores.sort(key=lambda s: (-s[0], s[1]))
+        return [iid for (_, iid) in scores]
+
+    def _count_visible_points(self, image_id) -> int:
+        graph = self.cache.correspondence_graph
+        offsets, data_img, data_idx = graph.correspondence_arrays(image_id)
+        count = 0
+        # Vectorized: for each correspondence row check if target is
+        # triangulated.
+        reg_ids = set(self.recon.reg_image_ids())
+        pt_idx = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+        seen_pts = set()
+        for iid in np.unique(data_img):
+            if int(iid) not in reg_ids:
+                continue
+            sel = data_img == iid
+            other = self.recon.images[int(iid)]
+            tri = other.points2D_p3d[data_idx[sel]] != INVALID_POINT3D
+            for p in pt_idx[sel][tri]:
+                seen_pts.add(int(p))
+        return len(seen_pts)
+
+    # ------------------------------------------------------------------
+    def register_next_image(self, image_id: int, options: IncrementalMapperOptions) -> bool:
+        """2D-3D correspondences -> P3P LO-RANSAC -> LM refine -> continue
+        tracks (reference: RegisterNextImage, incremental_mapper.cc:233-490).
+        """
+        recon = self.recon
+        self.num_reg_trials[image_id] = self.num_reg_trials.get(image_id, 0) + 1
+        image = recon.images[image_id]
+        camera = recon.cameras[image.camera_id]
+        graph = self.cache.correspondence_graph
+
+        # Collect 2D-3D correspondences.
+        p2d_idxs, p3d_ids = [], []
+        corr_p3d_seen: Dict[int, Set[int]] = {}
+        offsets, data_img, data_idx = graph.correspondence_arrays(image_id)
+        pt_idx = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+        for (p, oid, oidx) in zip(pt_idx, data_img, data_idx):
+            oid = int(oid)
+            if not recon.is_image_registered(oid):
+                continue
+            p3d = int(recon.images[oid].points2D_p3d[int(oidx)])
+            if p3d == INVALID_POINT3D:
+                continue
+            seen = corr_p3d_seen.setdefault(int(p), set())
+            if p3d in seen:
+                continue
+            seen.add(p3d)
+            p2d_idxs.append(int(p))
+            p3d_ids.append(p3d)
+
+        if len(p2d_idxs) < options.abs_pose_min_num_inliers:
+            return False
+
+        points2D = image.points2D_xy[p2d_idxs]
+        points3D = np.stack([recon.points3D[p].xyz for p in p3d_ids])
+
+        pose_opts = AbsolutePoseOptions(
+            max_error_px=options.abs_pose_max_error,
+            min_inlier_ratio=options.abs_pose_min_inlier_ratio,
+        )
+        pose, inlier_mask, _ = estimate_absolute_pose(
+            camera, points2D, points3D, pose_opts, seed=options.seed
+        )
+        if pose is None or int(inlier_mask.sum()) < options.abs_pose_min_num_inliers:
+            return False
+
+        pose, camera_new, ok = refine_absolute_pose(
+            camera, pose, points2D, points3D, inlier_mask,
+            RefinePoseOptions(loss="cauchy", loss_scale=1.0),
+        )
+        if not ok:
+            return False
+        recon.cameras[image.camera_id].params = camera_new.params
+
+        recon.set_cam_from_world(image_id, pose)
+        recon.register_frame(image.frame_id)
+
+        # Continue tracks with verified inliers.
+        for i in np.nonzero(inlier_mask)[0]:
+            p2d_idx, p3d_id = p2d_idxs[i], p3d_ids[i]
+            if image.points2D_p3d[p2d_idx] != INVALID_POINT3D:
+                continue
+            if p3d_id not in recon.points3D:
+                continue
+            err = self.triangulator._reproj_error_px(
+                recon.cameras[image.camera_id], pose,
+                recon.points3D[p3d_id].xyz, image.points2D_xy[p2d_idx],
+            )
+            if err <= options.filter_max_reproj_error:
+                recon.add_observation(p3d_id, TrackElement(image_id, p2d_idx))
+        return True
+
+    # ------------------------------------------------------------------
+    def triangulate_image(self, image_id: int, tri_options: TriangulatorOptions) -> int:
+        return self.triangulator.triangulate_image(image_id, tri_options)
+
+    # ------------------------------------------------------------------
+    def local_bundle_adjustment(
+        self, image_id: int, options: IncrementalMapperOptions,
+        ba_options: Optional[ba.BAOptions] = None,
+    ):
+        """BA over the most-connected neighborhood of an image.
+
+        reference behavior: AdjustLocalBundle + FindLocalBundle
+        (incremental_mapper.h:325).
+        """
+        local_ids = self._find_local_bundle(image_id, options)
+        if len(local_ids) < 2:
+            return
+        if ba_options is None:
+            ba_options = ba.BAOptions(
+                max_iterations=25, pcg_iterations=25, loss="cauchy", loss_scale=1.0
+            )
+        image_set = list(local_ids)
+        problem, index = problem_from_reconstruction(self.recon, image_set)
+        if problem.obs_xy.shape[0] < 10 or problem.points.shape[0] < 4:
+            return
+        masks = ba.default_masks(problem, index["model_id"], ba_options)
+        # Fix all images outside the local set plus the two oldest in-set
+        # images when the model is larger than the local set (gauge).
+        reg_all = self.recon.reg_image_ids()
+        if len(reg_all) > len(image_set):
+            # points observed by out-of-set images act as anchors; also fix
+            # the earliest registered in-set image.
+            anchor = min(image_set)
+            row = index["image_ids"].index(anchor)
+            fm = masks.frame_mask.at[row].set(0.0)
+            ftm = masks.frame_trans_mask.at[row].set(0.0)
+            masks = masks._replace(frame_mask=fm, frame_trans_mask=ftm)
+        else:
+            masks = ba.fix_gauge_two_frames(masks, 0, 1)
+            fm = masks.frame_mask.at[1].set(0.0)
+            ftm = masks.frame_trans_mask.at[1].set(0.0)
+            masks = masks._replace(frame_mask=fm, frame_trans_mask=ftm)
+        solved, _ = ba.solve(problem, index["model_id"], ba_options, masks)
+        update_reconstruction(self.recon, solved, index)
+
+    def _find_local_bundle(self, image_id: int, options) -> List[int]:
+        """Most-connected registered images by shared 3D points."""
+        recon = self.recon
+        image = recon.images[image_id]
+        shared: Dict[int, int] = {}
+        for p3d_id in image.points2D_p3d:
+            if p3d_id == INVALID_POINT3D:
+                continue
+            for el in recon.points3D[int(p3d_id)].track:
+                if el.image_id != image_id:
+                    shared[el.image_id] = shared.get(el.image_id, 0) + 1
+        ranked = sorted(shared, key=shared.get, reverse=True)
+        local = [image_id] + ranked[: options.local_ba_num_images - 1]
+        return local
+
+    def global_bundle_adjustment(self, ba_options: Optional[ba.BAOptions] = None):
+        """reference behavior: AdjustGlobalBundle."""
+        recon = self.recon
+        reg = recon.reg_image_ids()
+        if len(reg) < 2:
+            return
+        if ba_options is None:
+            ba_options = ba.BAOptions(
+                max_iterations=50, pcg_iterations=50, loss="cauchy", loss_scale=1.0
+            )
+        problem, index = problem_from_reconstruction(recon, reg)
+        if problem.obs_xy.shape[0] < 10:
+            return
+        masks = ba.default_masks(problem, index["model_id"], ba_options)
+        masks = ba.fix_gauge_two_frames(masks, 0, 1)
+        solved, _ = ba.solve(problem, index["model_id"], ba_options, masks)
+        update_reconstruction(recon, solved, index)
+
+    # ------------------------------------------------------------------
+    def filter_points(self, options: IncrementalMapperOptions) -> int:
+        """Remove 3D points with large error / small angle / negative depth.
+
+        reference behavior: ObservationManager::FilterPoints3D
+        (observation_manager.h:50-200).
+        """
+        recon = self.recon
+        num_filtered = 0
+        for p3d_id in list(recon.points3D.keys()):
+            point = recon.points3D[p3d_id]
+            # Reprojection errors + depths.
+            drop_obs = []
+            for el in point.track:
+                img = recon.images[el.image_id]
+                cam = recon.cameras[img.camera_id]
+                pose = recon.cam_from_world(el.image_id)
+                Xc = pose.apply(point.xyz[None])[0]
+                if Xc[2] <= 0:
+                    drop_obs.append(el)
+                    continue
+                err = self.triangulator._reproj_error_px(
+                    cam, pose, point.xyz, img.points2D_xy[el.point2D_idx]
+                )
+                if err > options.filter_max_reproj_error:
+                    drop_obs.append(el)
+            for el in drop_obs:
+                if p3d_id in recon.points3D:
+                    recon.delete_observation(el.image_id, el.point2D_idx)
+                    num_filtered += 1
+            if p3d_id not in recon.points3D:
+                continue
+            point = recon.points3D[p3d_id]
+            if len(point.track) < 2:
+                num_filtered += len(point.track)
+                recon.delete_point3D(p3d_id)
+                continue
+            # Max pairwise triangulation angle.
+            centers = [
+                recon.cam_from_world(el.image_id).projection_center()
+                for el in point.track
+            ]
+            max_angle = 0.0
+            for i in range(len(centers)):
+                for j in range(i + 1, len(centers)):
+                    ang = float(
+                        triangulation_angle(
+                            jnp.asarray(centers[i]), jnp.asarray(centers[j]),
+                            jnp.asarray(point.xyz),
+                        )
+                    )
+                    max_angle = max(max_angle, ang)
+            if np.rad2deg(max_angle) < options.filter_min_tri_angle_deg:
+                num_filtered += len(point.track)
+                recon.delete_point3D(p3d_id)
+        return num_filtered
+
+    def filter_frames(self, options: IncrementalMapperOptions) -> List[int]:
+        """Deregister frames with too few observations or bogus params.
+
+        reference behavior: ObservationManager::FilterFrames.
+        """
+        recon = self.recon
+        filtered = []
+        for frame_id in recon.reg_frame_ids():
+            if frame_id in self.existing_frame_ids:
+                continue
+            n_p3d = sum(
+                recon.images[iid].num_points3D() for iid in recon.frames[frame_id].image_ids()
+            )
+            bogus = False
+            for iid in recon.frames[frame_id].image_ids():
+                cam = recon.cameras[recon.images[iid].camera_id]
+                if camera_models.has_bogus_params(
+                    cam.model_id, cam.params, cam.width, cam.height,
+                    options.min_focal_length_ratio, options.max_focal_length_ratio,
+                    options.max_extra_param,
+                ):
+                    bogus = True
+            if n_p3d < 3 or bogus:
+                recon.deregister_frame(frame_id)
+                filtered.append(frame_id)
+                self.filtered_frames.add(frame_id)
+        return filtered

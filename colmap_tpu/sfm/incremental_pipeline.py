@@ -1,0 +1,185 @@
+"""Incremental reconstruction pipeline driver.
+
+reference behavior: src/colmap/controllers/incremental_pipeline.{h,cc} —
+DatabaseCache load, sub-model loop, initialization with constraint
+relaxation, the register/triangulate/local-BA loop, growth-ratio-triggered
+global refinement, and final global BA (Reconstruct/ReconstructSubModel,
+incremental_pipeline.cc:381-713).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+
+from colmap_tpu.estimators import bundle_adjustment as ba
+from colmap_tpu.scene.database import Database
+from colmap_tpu.scene.database_cache import DatabaseCache
+from colmap_tpu.scene.reconstruction import Reconstruction
+from colmap_tpu.sfm.incremental_mapper import IncrementalMapper, IncrementalMapperOptions
+from colmap_tpu.sfm.incremental_triangulator import TriangulatorOptions
+
+
+@dataclasses.dataclass
+class IncrementalPipelineOptions:
+    """reference: controllers/incremental_pipeline.h:60-217."""
+
+    min_num_matches: int = 15
+    ignore_watermarks: bool = False
+    max_num_models: int = 50
+    min_model_size: int = 10
+    ba_global_frames_ratio: float = 1.1
+    ba_global_points_ratio: float = 1.1
+    ba_local_num_images: int = 6
+    ba_local_max_refinements: int = 2
+    ba_global_max_refinements: int = 5
+    init_num_trials: int = 200
+    mapper: IncrementalMapperOptions = dataclasses.field(
+        default_factory=IncrementalMapperOptions
+    )
+    triangulator: TriangulatorOptions = dataclasses.field(
+        default_factory=TriangulatorOptions
+    )
+    verbose: bool = False
+
+
+class IncrementalPipeline:
+    def __init__(self, options: IncrementalPipelineOptions, database: Database):
+        self.options = options
+        self.database = database
+        self.reconstructions: List[Reconstruction] = []
+
+    def _log(self, msg):
+        if self.options.verbose:
+            print(msg)
+
+    def run(self) -> List[Reconstruction]:
+        cache = DatabaseCache.create(
+            self.database,
+            min_num_matches=self.options.min_num_matches,
+            ignore_watermarks=self.options.ignore_watermarks,
+        )
+        self._log(
+            f"Loaded database: {len(cache.images)} images, "
+            f"{len(cache.correspondence_graph.image_pairs())} verified pairs"
+        )
+        mapper = IncrementalMapper(cache)
+        num_images = len(cache.images)
+        for _ in range(self.options.max_num_models):
+            recon = Reconstruction()
+            ok = self._reconstruct_sub_model(mapper, recon)
+            if ok and recon.num_reg_frames() >= 2:
+                self.reconstructions.append(recon)
+            reg_total = sum(r.num_reg_frames() for r in self.reconstructions)
+            if reg_total >= num_images or not ok:
+                break
+            # Mark registered images as used (cannot seed a new model).
+            if not ok:
+                break
+        # Sort largest first (reference: ReconstructionManager ordering).
+        self.reconstructions.sort(key=lambda r: -r.num_reg_frames())
+        return self.reconstructions
+
+    # ------------------------------------------------------------------
+    def _reconstruct_sub_model(self, mapper: IncrementalMapper, recon: Reconstruction) -> bool:
+        opts = self.options
+        mapper.begin_reconstruction(recon)
+
+        init = mapper.find_initial_image_pair(opts.mapper)
+        if init is None:
+            # Relax constraints x2 (reference: incremental_pipeline.cc:418-445).
+            relaxed = dataclasses.replace(
+                opts.mapper,
+                init_min_num_inliers=opts.mapper.init_min_num_inliers // 2,
+                init_min_tri_angle_deg=opts.mapper.init_min_tri_angle_deg / 2,
+            )
+            init = mapper.find_initial_image_pair(relaxed)
+            if init is None:
+                relaxed = dataclasses.replace(
+                    relaxed,
+                    init_min_num_inliers=relaxed.init_min_num_inliers // 2,
+                    init_min_tri_angle_deg=relaxed.init_min_tri_angle_deg / 2,
+                )
+                init = mapper.find_initial_image_pair(relaxed)
+        if init is None:
+            self._log("No good initial pair found")
+            return False
+        id1, id2, pose21, inliers = init
+        self._log(f"Initializing with image pair ({id1}, {id2})")
+        if not mapper.register_initial_image_pair(id1, id2, pose21, inliers, opts.mapper):
+            return False
+        mapper.global_bundle_adjustment(
+            ba.BAOptions(max_iterations=30, pcg_iterations=30, loss="cauchy")
+        )
+        mapper.filter_points(opts.mapper)
+
+        last_global_frames = 2
+        last_global_points = recon.num_points3D()
+
+        while True:
+            next_images = mapper.find_next_images(opts.mapper)
+            if not next_images:
+                break
+            registered_any = False
+            for image_id in next_images:
+                self._log(
+                    f"Registering image #{image_id} "
+                    f"({recon.num_reg_frames() + 1})"
+                )
+                if mapper.register_next_image(image_id, opts.mapper):
+                    registered_any = True
+                    mapper.triangulate_image(image_id, opts.triangulator)
+                    self._iterative_local_refinement(mapper, image_id)
+                    if (
+                        recon.num_reg_frames()
+                        >= opts.ba_global_frames_ratio * last_global_frames
+                        or recon.num_points3D()
+                        >= opts.ba_global_points_ratio * last_global_points
+                    ):
+                        self._iterative_global_refinement(mapper)
+                        last_global_frames = recon.num_reg_frames()
+                        last_global_points = recon.num_points3D()
+                    break  # re-rank after each registration
+            if not registered_any:
+                break
+
+        self._iterative_global_refinement(mapper)
+        recon.update_point3D_errors()
+        return recon.num_reg_frames() >= 2
+
+    # ------------------------------------------------------------------
+    def _iterative_local_refinement(self, mapper: IncrementalMapper, image_id: int):
+        """reference behavior: IterativeLocalRefinement
+        (incremental_pipeline.cc:1248): local BA + complete/merge + filter,
+        repeated up to ba_local_max_refinements."""
+        for _ in range(self.options.ba_local_max_refinements):
+            mapper.local_bundle_adjustment(image_id, self.options.mapper)
+            image = mapper.recon.images[image_id]
+            pts = set(
+                int(p) for p in image.points2D_p3d if p != -1
+            )
+            changed = mapper.triangulator.complete_and_merge_tracks(
+                pts, self.options.triangulator
+            )
+            mapper.filter_points(self.options.mapper)
+            if changed == 0:
+                break
+
+    def _iterative_global_refinement(self, mapper: IncrementalMapper):
+        """reference behavior: IterativeGlobalRefinement
+        (incremental_pipeline.cc:1286): retriangulate + global BA + filters
+        until stable (≤ ba_global_max_refinements rounds)."""
+        mapper.triangulator.complete_and_merge_tracks(
+            list(mapper.recon.points3D.keys()), self.options.triangulator
+        )
+        for _ in range(self.options.ba_global_max_refinements):
+            mapper.global_bundle_adjustment()
+            changed = mapper.triangulator.complete_and_merge_tracks(
+                list(mapper.recon.points3D.keys()), self.options.triangulator
+            )
+            changed += mapper.filter_points(self.options.mapper)
+            mapper.filter_frames(self.options.mapper)
+            if changed == 0:
+                break

@@ -1,0 +1,326 @@
+"""Incremental triangulation over the correspondence graph.
+
+reference behavior: src/colmap/sfm/incremental_triangulator.h:43-190 —
+per-image Find/Create/Continue/Merge/Complete operations. The decision logic
+(which tracks to extend or create) stays on host over the CSR graph; the
+numeric work — multi-view DLT, reprojection and angle checks — is batched
+per image into single device calls (triangulate candidates padded to a fixed
+view count).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from colmap_tpu.geometry.essential import triangulate_point_dlt
+from colmap_tpu.geometry.triangulation import triangulate_multi_view, triangulation_angle
+from colmap_tpu.scene.correspondence_graph import CorrespondenceGraph
+from colmap_tpu.scene.reconstruction import Reconstruction
+from colmap_tpu.scene.types import INVALID_POINT3D, Pose, TrackElement
+from colmap_tpu.sensor import models as camera_models
+
+
+@dataclasses.dataclass
+class TriangulatorOptions:
+    """reference: incremental_triangulator.h Options."""
+
+    max_transitivity: int = 1
+    create_max_angle_error_deg: float = 2.0
+    continue_max_angle_error_deg: float = 2.0
+    merge_max_reproj_error_px: float = 4.0
+    complete_max_reproj_error_px: float = 4.0
+    min_angle_deg: float = 1.5
+    ignore_two_view_tracks: bool = True
+    min_focal_length_ratio: float = 0.1
+    max_focal_length_ratio: float = 10.0
+    max_extra_param: float = 1.0
+
+
+class IncrementalTriangulator:
+    def __init__(self, graph: CorrespondenceGraph, recon: Reconstruction):
+        self.graph = graph
+        self.recon = recon
+
+    # ------------------------------------------------------------------
+    def _cam_data(self, image_id):
+        image = self.recon.images[image_id]
+        camera = self.recon.cameras[image.camera_id]
+        pose = self.recon.cam_from_world(image_id)
+        return image, camera, pose
+
+    def _normalized(self, camera, xy):
+        uv, ok = camera_models.cam_from_img(
+            camera.model_id, jnp.asarray(camera.params), jnp.asarray(xy, dtype=jnp.float64)
+        )
+        return np.asarray(uv), np.asarray(ok)
+
+    def _reproj_error_px(self, camera, pose: Pose, X, xy) -> float:
+        Xc = pose.apply(np.asarray(X)[None])[0]
+        if Xc[2] <= 0:
+            return np.inf
+        proj, valid = camera_models.img_from_cam(
+            camera.model_id, jnp.asarray(camera.params), jnp.asarray(Xc)
+        )
+        if not bool(valid):
+            return np.inf
+        return float(np.linalg.norm(np.asarray(proj) - xy))
+
+    # ------------------------------------------------------------------
+    def triangulate_image(self, image_id: int, options: Optional[TriangulatorOptions] = None) -> int:
+        """Triangulate/extend tracks for all observations of an image.
+
+        Returns number of observations added (reference:
+        IncrementalTriangulator::TriangulateImage).
+        """
+        if options is None:
+            options = TriangulatorOptions()
+        image, camera, pose = self._cam_data(image_id)
+        num_tris = 0
+
+        # Gather correspondences to registered images for every point2D.
+        continue_jobs = []  # (p2d_idx, point3D_id)
+        create_jobs = []  # (p2d_idx, [(other_image_id, other_idx), ...])
+        for p2d_idx in range(image.num_points2D()):
+            if image.points2D_p3d[p2d_idx] != INVALID_POINT3D:
+                continue
+            corrs = self.graph.find_transitive_correspondences(
+                image_id, p2d_idx, options.max_transitivity
+            )
+            reg_corrs = [
+                (int(oid), int(oidx))
+                for (oid, oidx) in corrs
+                if self.recon.is_image_registered(int(oid))
+            ]
+            if not reg_corrs:
+                continue
+            # Existing 3D points among correspondences -> continue tracks.
+            p3d_ids = [
+                int(self.recon.images[oid].points2D_p3d[oidx])
+                for (oid, oidx) in reg_corrs
+            ]
+            with_p3d = [p for p in p3d_ids if p != INVALID_POINT3D]
+            if with_p3d:
+                # Most frequent candidate.
+                vals, counts = np.unique(with_p3d, return_counts=True)
+                continue_jobs.append((p2d_idx, int(vals[np.argmax(counts)])))
+            else:
+                create_jobs.append(
+                    (p2d_idx, [rc for rc, p in zip(reg_corrs, p3d_ids) if p == INVALID_POINT3D])
+                )
+
+        # Continue tracks: check reprojection error of the candidate point.
+        for (p2d_idx, p3d_id) in continue_jobs:
+            if p3d_id not in self.recon.points3D:
+                continue
+            X = self.recon.points3D[p3d_id].xyz
+            err = self._reproj_error_px(camera, pose, X, image.points2D_xy[p2d_idx])
+            if err <= options.merge_max_reproj_error_px:
+                self.recon.add_observation(p3d_id, TrackElement(image_id, p2d_idx))
+                num_tris += 1
+
+        # Create new tracks by multi-view triangulation.
+        num_tris += self._create_points(image_id, create_jobs, options)
+        return num_tris
+
+    def _create_points(self, image_id, create_jobs, options) -> int:
+        if not create_jobs:
+            return 0
+        image, camera, pose = self._cam_data(image_id)
+        uv_ref, ok_ref = self._normalized(camera, image.points2D_xy)
+        proj_ref = pose.matrix3x4()
+        center_ref = pose.projection_center()
+
+        MAX_V = 8  # views per triangulation batch row (incl. reference)
+        rows = []  # (p2d_idx, elements, proj_mats (V,3,4), uvs (V,2), mask (V,))
+        for (p2d_idx, corrs) in create_jobs:
+            if not ok_ref[p2d_idx]:
+                continue
+            elements = [TrackElement(image_id, p2d_idx)]
+            projs = [proj_ref]
+            uvs = [uv_ref[p2d_idx]]
+            centers = [center_ref]
+            for (oid, oidx) in corrs[: MAX_V - 1]:
+                oimg, ocam, opose = self._cam_data(oid)
+                # Skip if that observation already got a 3D point meanwhile.
+                if oimg.points2D_p3d[oidx] != INVALID_POINT3D:
+                    continue
+                ouv, ook = self._normalized(ocam, oimg.points2D_xy[oidx][None])
+                if not ook[0]:
+                    continue
+                elements.append(TrackElement(oid, oidx))
+                projs.append(opose.matrix3x4())
+                uvs.append(ouv[0])
+                centers.append(opose.projection_center())
+            if len(elements) < 2:
+                continue
+            if options.ignore_two_view_tracks and len(elements) < 3:
+                # Two-view tracks optionally ignored at creation
+                # (reference default keeps them off).
+                continue
+            rows.append((p2d_idx, elements, projs, uvs, centers))
+
+        if not rows:
+            return 0
+
+        # Pad to fixed view count and batch the triangulation on device.
+        B = len(rows)
+        proj_arr = np.zeros((B, MAX_V, 3, 4))
+        uv_arr = np.zeros((B, MAX_V, 2))
+        mask_arr = np.zeros((B, MAX_V))
+        for b, (_, elements, projs, uvs, centers) in enumerate(rows):
+            v = len(projs)
+            proj_arr[b, :v] = np.stack(projs)
+            uv_arr[b, :v] = np.stack(uvs)
+            mask_arr[b, :v] = 1.0
+        X = np.asarray(
+            triangulate_multi_view(
+                jnp.asarray(proj_arr), jnp.asarray(uv_arr), jnp.asarray(mask_arr)
+            )
+        )
+
+        num_created = 0
+        for b, (p2d_idx, elements, projs, uvs, centers) in enumerate(rows):
+            Xb = X[b]
+            if not np.all(np.isfinite(Xb)):
+                continue
+            # Cheirality + reprojection + angle checks per element.
+            ok_elements = []
+            for el, proj, uv, center in zip(elements, projs, uvs, centers):
+                Xc = proj @ np.concatenate([Xb, [1.0]])
+                if Xc[2] <= 0:
+                    continue
+                err = np.linalg.norm(Xc[:2] / Xc[2] - uv)
+                ecam = self.recon.cameras[self.recon.images[el.image_id].camera_id]
+                err_px = err * ecam.mean_focal_length()
+                if err_px <= options.complete_max_reproj_error_px:
+                    ok_elements.append((el, center))
+            if len(ok_elements) < 2 or (
+                options.ignore_two_view_tracks and len(ok_elements) < 3
+            ):
+                continue
+            # Pairwise max triangulation angle must exceed the minimum.
+            centers_ok = np.stack([c for (_, c) in ok_elements])
+            max_angle = 0.0
+            for i in range(len(centers_ok)):
+                for j in range(i + 1, len(centers_ok)):
+                    ang = float(
+                        triangulation_angle(
+                            jnp.asarray(centers_ok[i]), jnp.asarray(centers_ok[j]),
+                            jnp.asarray(Xb),
+                        )
+                    )
+                    max_angle = max(max_angle, ang)
+            if np.rad2deg(max_angle) < options.min_angle_deg:
+                continue
+            # Some elements may have been claimed by an earlier row.
+            free = [
+                el for (el, _) in ok_elements
+                if self.recon.images[el.image_id].points2D_p3d[el.point2D_idx]
+                == INVALID_POINT3D
+            ]
+            if len(free) < 2:
+                continue
+            self.recon.add_point3D(Xb, free)
+            num_created += len(free)
+        return num_created
+
+    # ------------------------------------------------------------------
+    def complete_and_merge_tracks(
+        self, point3D_ids, options: Optional[TriangulatorOptions] = None
+    ) -> int:
+        """Complete tracks transitively and merge compatible ones.
+
+        reference behavior: CompleteTracks/MergeTracks
+        (incremental_triangulator.cc).
+        """
+        if options is None:
+            options = TriangulatorOptions()
+        num_changes = 0
+        for p3d_id in list(point3D_ids):
+            if p3d_id not in self.recon.points3D:
+                continue
+            num_changes += self._complete_track(p3d_id, options)
+            if p3d_id in self.recon.points3D:
+                num_changes += self._merge_track(p3d_id, options)
+        return num_changes
+
+    def _complete_track(self, p3d_id, options) -> int:
+        point = self.recon.points3D[p3d_id]
+        num_added = 0
+        queue = list(point.track)
+        seen = set((el.image_id, el.point2D_idx) for el in queue)
+        while queue:
+            el = queue.pop()
+            for (oid, oidx) in self.graph.find_correspondences(el.image_id, el.point2D_idx):
+                oid, oidx = int(oid), int(oidx)
+                if (oid, oidx) in seen:
+                    continue
+                seen.add((oid, oidx))
+                if not self.recon.is_image_registered(oid):
+                    continue
+                oimg = self.recon.images[oid]
+                if oimg.points2D_p3d[oidx] != INVALID_POINT3D:
+                    continue
+                _, ocam, opose = self._cam_data(oid)
+                err = self._reproj_error_px(
+                    ocam, opose, point.xyz, oimg.points2D_xy[oidx]
+                )
+                if err <= options.complete_max_reproj_error_px:
+                    self.recon.add_observation(p3d_id, TrackElement(oid, oidx))
+                    queue.append(TrackElement(oid, oidx))
+                    num_added += 1
+        return num_added
+
+    def _merge_track(self, p3d_id, options) -> int:
+        point = self.recon.points3D[p3d_id]
+        # Find candidate partner points through correspondences.
+        candidates = {}
+        for el in point.track:
+            for (oid, oidx) in self.graph.find_correspondences(el.image_id, el.point2D_idx):
+                oid, oidx = int(oid), int(oidx)
+                if not self.recon.is_image_registered(oid):
+                    continue
+                other_p3d = int(self.recon.images[oid].points2D_p3d[oidx])
+                if other_p3d != INVALID_POINT3D and other_p3d != p3d_id:
+                    candidates[other_p3d] = candidates.get(other_p3d, 0) + 1
+        for other_id in sorted(candidates, key=candidates.get, reverse=True):
+            if other_id not in self.recon.points3D or p3d_id not in self.recon.points3D:
+                break
+            p1 = self.recon.points3D[p3d_id]
+            p2 = self.recon.points3D[other_id]
+            n1, n2 = len(p1.track), len(p2.track)
+            merged_xyz = (n1 * p1.xyz + n2 * p2.xyz) / (n1 + n2)
+            # Accept merge only if all observations stay within threshold.
+            ok = True
+            for pt in (p1, p2):
+                for el in pt.track:
+                    img = self.recon.images[el.image_id]
+                    cam = self.recon.cameras[img.camera_id]
+                    pose = self.recon.cam_from_world(el.image_id)
+                    err = self._reproj_error_px(
+                        cam, pose, merged_xyz, img.points2D_xy[el.point2D_idx]
+                    )
+                    if err > options.merge_max_reproj_error_px:
+                        ok = False
+                        break
+                if not ok:
+                    break
+            if ok:
+                self.recon.merge_points3D(p3d_id, other_id)
+                return n1 + n2
+        return 0
+
+    # ------------------------------------------------------------------
+    def retriangulate(self, options: Optional[TriangulatorOptions] = None) -> int:
+        """Re-attempt triangulation for under-reconstructed image pairs
+        (reference: Retriangulate, incremental_triangulator.h:141)."""
+        if options is None:
+            options = TriangulatorOptions()
+        num_tris = 0
+        for image_id in self.recon.reg_image_ids():
+            num_tris += self.triangulate_image(image_id, options)
+        return num_tris
