@@ -1,0 +1,380 @@
+"""SIFT feature extraction as a batched XLA program.
+
+reference behavior: src/colmap/feature/sift.{h,cc} (VLFeat CPU path,
+options at sift.h:40-100: first_octave=-1, num_octaves=4,
+octave_resolution=3, peak_threshold=0.02/3, edge_threshold=10,
+max_num_orientations=2, L1_ROOT normalization, max_num_features=8192).
+
+TPU-first design: instead of VLFeat's scalar scan over octaves, the whole
+pipeline is fixed-shape array code — separable Gaussian convolutions build
+the scale pyramid, DoG extrema come from fused 3x3x3 min/max comparisons,
+subpixel refinement is a closed-form 3x3 solve vectorized over all
+candidates, orientation histograms and descriptors are computed for a
+fixed-capacity top-K keypoint set via gather windows. Everything jits; one
+call per (image, octave) shape bucket.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class SiftOptions:
+    max_num_features: int = 8192
+    first_octave: int = -1  # -1: upsample input 2x first
+    num_octaves: int = 4
+    octave_resolution: int = 3
+    peak_threshold: float = 0.02 / 3
+    edge_threshold: float = 10.0
+    max_num_orientations: int = 2
+    sigma0: float = 1.6  # base scale of each octave
+    # capacity per octave for candidate extrema (fixed shapes)
+    max_candidates_per_octave: int = 4096
+
+
+def _gaussian_kernel1d(sigma: float, radius: int, dtype):
+    x = jnp.arange(-radius, radius + 1, dtype=dtype)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / jnp.sum(k)
+
+
+def _blur(img, sigma, dtype):
+    """Separable Gaussian blur of (H, W) image."""
+    radius = max(1, int(np.ceil(4.0 * sigma)))
+    k = _gaussian_kernel1d(sigma, radius, dtype)
+    # rows
+    img = jnp.pad(img, ((radius, radius), (0, 0)), mode="edge")
+    img = jax.lax.conv_general_dilated(
+        img[None, None], k[None, None, :, None],
+        window_strides=(1, 1), padding="VALID",
+    )[0, 0]
+    img = jnp.pad(img, ((0, 0), (radius, radius)), mode="edge")
+    img = jax.lax.conv_general_dilated(
+        img[None, None], k[None, None, None, :],
+        window_strides=(1, 1), padding="VALID",
+    )[0, 0]
+    return img
+
+
+def _upsample2(img):
+    H, W = img.shape
+    out = jax.image.resize(img, (2 * H, 2 * W), method="bilinear")
+    return out
+
+
+def _downsample2(img):
+    return img[::2, ::2]
+
+
+def build_octave(img, options: SiftOptions):
+    """Gaussian scale stack for one octave: (S+3, H, W) plus DoG (S+2, H, W)."""
+    S = options.octave_resolution
+    dtype = img.dtype
+    k = 2.0 ** (1.0 / S)
+    levels = [img]
+    sigma_prev = options.sigma0
+    for s in range(1, S + 3):
+        sigma_total = options.sigma0 * (k**s)
+        sigma_delta = float(np.sqrt(max(sigma_total**2 - sigma_prev**2, 1e-8)))
+        levels.append(_blur(levels[-1], sigma_delta, dtype))
+        sigma_prev = sigma_total
+    gauss = jnp.stack(levels)
+    dog = gauss[1:] - gauss[:-1]
+    return gauss, dog
+
+
+def _find_extrema(dog, peak_threshold):
+    """Mask of local 3x3x3 extrema in the DoG stack (S+2, H, W) -> mask over
+    the inner scales (S, H, W)."""
+    D = dog
+    center = D[1:-1]
+    # 26-neighborhood max/min via shifts.
+    neigh_max = jnp.full_like(center, -jnp.inf)
+    neigh_min = jnp.full_like(center, jnp.inf)
+    for ds in (-1, 0, 1):
+        block = D[1 + ds: D.shape[0] - 1 + ds]
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if ds == 0 and dy == 0 and dx == 0:
+                    continue
+                shifted = jnp.roll(block, (dy, dx), axis=(1, 2))
+                neigh_max = jnp.maximum(neigh_max, shifted)
+                neigh_min = jnp.minimum(neigh_min, shifted)
+    is_max = (center > neigh_max) & (center > 0.8 * peak_threshold)
+    is_min = (center < neigh_min) & (center < -0.8 * peak_threshold)
+    mask = is_max | is_min
+    # Zero the border.
+    mask = mask.at[:, :1, :].set(False).at[:, -1:, :].set(False)
+    mask = mask.at[:, :, :1].set(False).at[:, :, -1:].set(False)
+    return mask
+
+
+def _refine_candidates(dog, ys, xs, ss, valid, options: SiftOptions):
+    """Quadratic subpixel refinement + contrast/edge tests.
+
+    dog: (S+2, H, W); candidate integer coords (scale index into inner
+    scales: actual dog scale = ss+1). Returns refined (x, y, scale_offset,
+    response, keep_mask).
+    """
+    S2, H, W = dog.shape
+    s = ss + 1
+
+    def grad_hess(s, y, x):
+        d = lambda ds, dy, dx: dog[s + ds, y + dy, x + dx]
+        gx = 0.5 * (d(0, 0, 1) - d(0, 0, -1))
+        gy = 0.5 * (d(0, 1, 0) - d(0, -1, 0))
+        gs = 0.5 * (d(1, 0, 0) - d(-1, 0, 0))
+        dxx = d(0, 0, 1) + d(0, 0, -1) - 2 * d(0, 0, 0)
+        dyy = d(0, 1, 0) + d(0, -1, 0) - 2 * d(0, 0, 0)
+        dss = d(1, 0, 0) + d(-1, 0, 0) - 2 * d(0, 0, 0)
+        dxy = 0.25 * (d(0, 1, 1) - d(0, 1, -1) - d(0, -1, 1) + d(0, -1, -1))
+        dxs = 0.25 * (d(1, 0, 1) - d(1, 0, -1) - d(-1, 0, 1) + d(-1, 0, -1))
+        dys = 0.25 * (d(1, 1, 0) - d(1, -1, 0) - d(-1, 1, 0) + d(-1, -1, 0))
+        return (gx, gy, gs), (dxx, dyy, dss, dxy, dxs, dys)
+
+    (gx, gy, gs), (dxx, dyy, dss, dxy, dxs, dys) = jax.vmap(grad_hess)(s, ys, xs)
+
+    # Solve H δ = -g for δ = (dx, dy, ds), 3x3 symmetric solve.
+    Hm = jnp.stack(
+        [dxx, dxy, dxs, dxy, dyy, dys, dxs, dys, dss], axis=-1
+    ).reshape(-1, 3, 3)
+    g = jnp.stack([gx, gy, gs], axis=-1)
+    det = jnp.linalg.det(Hm)
+    ok_det = jnp.abs(det) > 1e-12
+    Hm_safe = jnp.where(ok_det[:, None, None], Hm, jnp.eye(3, dtype=Hm.dtype))
+    delta = -jnp.linalg.solve(Hm_safe, g[..., None])[..., 0]
+    delta = jnp.clip(delta, -1.5, 1.5)
+
+    center_val = dog[s, ys, xs]
+    response = center_val + 0.5 * jnp.sum(g * delta, axis=-1)
+
+    # Contrast test.
+    keep = valid & ok_det & (jnp.abs(response) > options.peak_threshold)
+    # Edge test on the 2x2 spatial Hessian.
+    tr = dxx + dyy
+    det2 = dxx * dyy - dxy * dxy
+    r = options.edge_threshold
+    keep &= (det2 > 0) & (tr * tr / jnp.maximum(det2, 1e-20) < (r + 1) ** 2 / r)
+
+    x_ref = xs + delta[:, 0]
+    y_ref = ys + delta[:, 1]
+    s_ref = ss.astype(dog.dtype) + delta[:, 2]
+    inb = (x_ref >= 1) & (x_ref < W - 1) & (y_ref >= 1) & (y_ref < H - 1)
+    keep &= inb
+    return x_ref, y_ref, s_ref, response, keep
+
+
+def _orientations_and_descriptors(gauss, xs, ys, scales, sigmas, valid,
+                                  options: SiftOptions):
+    """Per-keypoint dominant orientations (up to max_num_orientations) and
+    128-d descriptors via 16x16 gradient windows.
+
+    gauss: (S+3, H, W); keypoints at octave coordinates with per-keypoint
+    gaussian level index `scales` and scale `sigmas`.
+    """
+    S3, H, W = gauss.shape
+    dtype = gauss.dtype
+
+    # Precompute gradients for every level.
+    gx = jnp.zeros_like(gauss)
+    gx = gx.at[:, :, 1:-1].set(0.5 * (gauss[:, :, 2:] - gauss[:, :, :-2]))
+    gy = jnp.zeros_like(gauss)
+    gy = gy.at[:, 1:-1, :].set(0.5 * (gauss[:, 2:, :] - gauss[:, :-2, :]))
+    mag = jnp.sqrt(gx * gx + gy * gy + 1e-20)
+    ang = jnp.arctan2(gy, gx)  # [-pi, pi]
+
+    R = 8  # half window (16x16 samples at unit spacing x sigma)
+    win = jnp.arange(-R, R, dtype=dtype) + 0.5  # 16 offsets
+
+    NBINS_ORI = 36
+
+    def per_kp(x, y, lvl, sigma):
+        # Sample grid around the keypoint, spacing ~ sigma.
+        coords_y = y + sigma * win  # (16,)
+        coords_x = x + sigma * win
+        iy = jnp.clip(jnp.round(coords_y).astype(jnp.int32), 0, H - 1)
+        ix = jnp.clip(jnp.round(coords_x).astype(jnp.int32), 0, W - 1)
+        m = mag[lvl][iy[:, None], ix[None, :]]  # (16, 16)
+        a = ang[lvl][iy[:, None], ix[None, :]]
+        # Gaussian weight over the window.
+        d2 = (win[:, None] ** 2 + win[None, :] ** 2) / (2.0 * (1.5 * R / 3.0) ** 2)
+        w = jnp.exp(-d2)
+        wm = m * w
+        # Orientation histogram.
+        bin_f = (a + jnp.pi) / (2 * jnp.pi) * NBINS_ORI
+        bin_i = jnp.clip(bin_f.astype(jnp.int32), 0, NBINS_ORI - 1)
+        hist = jnp.zeros(NBINS_ORI, dtype=dtype).at[bin_i.reshape(-1)].add(
+            wm.reshape(-1)
+        )
+        # Smooth the histogram (3-tap, applied twice).
+        for _ in range(2):
+            hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
+        return hist, (m, a, w)
+
+    def descriptor(x, y, lvl, sigma, theta):
+        # Rotated 16x16 sampling grid; 4x4 spatial bins x 8 orientations.
+        c, s = jnp.cos(theta), jnp.sin(theta)
+        u = win[:, None] * jnp.ones((1, 2 * R), dtype)  # row offsets
+        v = jnp.ones((2 * R, 1), dtype) * win[None, :]
+        # Rotate sample offsets into image frame.
+        dx = (c * v - s * u) * sigma
+        dy = (s * v + c * u) * sigma
+        iy = jnp.clip(jnp.round(y + dy).astype(jnp.int32), 0, H - 1)
+        ix = jnp.clip(jnp.round(x + dx).astype(jnp.int32), 0, W - 1)
+        m = mag[lvl][iy, ix]
+        a = ang[lvl][iy, ix] - theta
+        d2 = (u**2 + v**2) / (2.0 * (0.5 * 2 * R) ** 2)
+        w = jnp.exp(-d2)
+        wm = m * w
+        # Spatial bins: 4x4 over the 16x16 window.
+        bu = jnp.clip(((u + R - 0.5) / (2 * R) * 4).astype(jnp.int32), 0, 3)
+        bv = jnp.clip(((v + R - 0.5) / (2 * R) * 4).astype(jnp.int32), 0, 3)
+        ao = jnp.mod(a, 2 * jnp.pi)
+        bo = jnp.clip((ao / (2 * jnp.pi) * 8).astype(jnp.int32), 0, 7)
+        flat_bin = (bu * 4 + bv) * 8 + bo
+        desc = jnp.zeros(128, dtype=dtype).at[flat_bin.reshape(-1)].add(
+            wm.reshape(-1)
+        )
+        # L1-root normalization (sift.h Normalization::L1_ROOT).
+        desc = desc / jnp.maximum(jnp.sum(jnp.abs(desc)), 1e-12)
+        desc = jnp.sqrt(desc)
+        return desc
+
+    hists, _ = jax.vmap(per_kp)(xs, ys, scales, sigmas)
+
+    # Peaks: global max + second peaks >= 0.8 * max that are local maxima.
+    def peaks(hist):
+        m = jnp.max(hist)
+        is_local = (hist >= jnp.roll(hist, 1)) & (hist >= jnp.roll(hist, -1))
+        score = jnp.where(is_local & (hist >= 0.8 * m), hist, -jnp.inf)
+        order = jnp.argsort(-score)[: options.max_num_orientations]
+        ok = jnp.take(score, order) > 0
+        # Parabolic interpolation of the peak position.
+        h0 = jnp.take(hist, jnp.mod(order - 1, NBINS_ORI))
+        h1 = jnp.take(hist, order)
+        h2 = jnp.take(hist, jnp.mod(order + 1, NBINS_ORI))
+        denom = h0 - 2 * h1 + h2
+        di = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (h0 - h2) / denom, 0.0)
+        theta = (order.astype(dtype) + 0.5 + di) / NBINS_ORI * 2 * jnp.pi - jnp.pi
+        return theta, ok
+
+    thetas, theta_ok = jax.vmap(peaks)(hists)  # (K, n_ori)
+
+    # Build descriptors for each (kp, orientation).
+    n_ori = options.max_num_orientations
+    xs_r = jnp.repeat(xs, n_ori)
+    ys_r = jnp.repeat(ys, n_ori)
+    lvl_r = jnp.repeat(scales, n_ori)
+    sig_r = jnp.repeat(sigmas, n_ori)
+    th_r = thetas.reshape(-1)
+    ok_r = theta_ok.reshape(-1) & jnp.repeat(valid, n_ori)
+    descs = jax.vmap(descriptor)(xs_r, ys_r, lvl_r, sig_r, th_r)
+    return xs_r, ys_r, sig_r, th_r, descs, ok_r
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def extract_octave(img, octave_idx: int, options: SiftOptions, dtype=jnp.float32):
+    """Detect + describe keypoints for one octave of an image.
+
+    img: the octave's base image (H, W), already scaled.
+    Returns fixed-capacity arrays:
+        xy (K*n_ori, 2) in octave pixel coords, scale (K*n_ori,),
+        orientation (K*n_ori,), response, descriptors (K*n_ori, 128),
+        valid mask.
+    """
+    gauss, dog = build_octave(img, options)
+    mask = _find_extrema(dog, options.peak_threshold)
+    S, H, W = mask.shape
+    cap = options.max_candidates_per_octave
+
+    flat = mask.reshape(-1)
+    scores = jnp.where(flat, jnp.abs(dog[1:-1].reshape(-1)), -jnp.inf)
+    top = jax.lax.top_k(scores, cap)[1]
+    valid = jnp.take(scores, top) > 0
+    ss = top // (H * W)
+    rem = top % (H * W)
+    ys = rem // W
+    xs = rem % W
+
+    x_ref, y_ref, s_ref, response, keep = _refine_candidates(
+        dog, ys, xs, ss, valid, options
+    )
+    # Keypoint scale: sigma0 * 2^(s/S) in octave units.
+    Sres = options.octave_resolution
+    sigma = options.sigma0 * (2.0 ** ((s_ref + 1.0) / Sres))
+    lvl = jnp.clip(jnp.round(s_ref).astype(jnp.int32) + 1, 0, Sres + 2)
+
+    xs_r, ys_r, sig_r, th_r, descs, ok_r = _orientations_and_descriptors(
+        gauss, x_ref, y_ref, lvl, sigma, keep, options
+    )
+    n_ori = options.max_num_orientations
+    resp_r = jnp.repeat(response, n_ori)
+    return xs_r, ys_r, sig_r, th_r, resp_r, descs, ok_r
+
+
+def extract_sift(image: np.ndarray, options: SiftOptions = None) -> Tuple[np.ndarray, np.ndarray]:
+    """Full SIFT extraction for a grayscale image.
+
+    Args:
+        image: (H, W) float in [0, 1] or uint8.
+    Returns:
+        keypoints: (N, 4) float32 [x, y, scale, orientation] in input pixels.
+        descriptors: (N, 128) uint8.
+    """
+    if options is None:
+        options = SiftOptions()
+    img = np.asarray(image)
+    if img.dtype == np.uint8:
+        img = img.astype(np.float32) / 255.0
+    img = jnp.asarray(img, dtype=jnp.float32)
+
+    all_kp = []
+    all_desc = []
+    scale = 1.0
+    if options.first_octave < 0:
+        img = _upsample2(img)
+        scale = 0.5
+    base = _blur(img, options.sigma0, jnp.float32)
+    for octave in range(options.num_octaves):
+        if min(base.shape) < 32:
+            break
+        xs, ys, sig, th, resp, descs, ok = extract_octave(base, octave, options)
+        ok_np = np.asarray(ok)
+        if ok_np.any():
+            kp = np.stack(
+                [
+                    np.asarray(xs)[ok_np] * scale,
+                    np.asarray(ys)[ok_np] * scale,
+                    np.asarray(sig)[ok_np] * scale,
+                    np.asarray(th)[ok_np],
+                    np.asarray(resp)[ok_np],
+                ],
+                axis=1,
+            )
+            all_kp.append(kp)
+            all_desc.append(np.asarray(descs)[ok_np])
+        base = _downsample2(
+            np.asarray(
+                build_octave(base, options)[0][options.octave_resolution]
+            )
+        )
+        base = jnp.asarray(base)
+        scale *= 2.0
+
+    if not all_kp:
+        return np.zeros((0, 4), np.float32), np.zeros((0, 128), np.uint8)
+    kp = np.concatenate(all_kp)
+    desc = np.concatenate(all_desc)
+    # Top max_num_features by |response|.
+    if len(kp) > options.max_num_features:
+        order = np.argsort(-np.abs(kp[:, 4]))[: options.max_num_features]
+        kp, desc = kp[order], desc[order]
+    desc_u8 = np.clip(np.round(desc * 512.0), 0, 255).astype(np.uint8)
+    return kp[:, :4].astype(np.float32), desc_u8

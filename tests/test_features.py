@@ -1,0 +1,121 @@
+"""Feature extraction and matching tests.
+
+reference test strategy: feature/sift_test.cc (keypoint presence and
+geometric consistency on synthetic patterns), feature/matcher tests.
+"""
+
+import numpy as np
+import pytest
+
+from colmap_tpu.feature.matcher import (
+    MatchingOptions,
+    match_descriptors,
+    match_guided,
+    match_pairs_batched,
+)
+from colmap_tpu.feature.sift import SiftOptions, extract_sift
+
+
+def _render_pattern(rng, size=256, n_blobs=40, shift=(0, 0), angle=0.0):
+    """Gaussian blob field; analytic, reproducible, warpable."""
+    H = W = size
+    ys, xs = np.mgrid[0:H, 0:W]
+    img = np.zeros((H, W), dtype=np.float64)
+    centers = rng.uniform(30, size - 30, (n_blobs, 2))
+    sigmas = rng.uniform(2.0, 6.0, n_blobs)
+    amps = rng.uniform(0.4, 1.0, n_blobs) * np.sign(rng.standard_normal(n_blobs))
+    c, s = np.cos(angle), np.sin(angle)
+    cx0, cy0 = W / 2, H / 2
+    for (cx, cy), sg, a in zip(centers, sigmas, amps):
+        # Transform blob center.
+        x2 = c * (cx - cx0) - s * (cy - cy0) + cx0 + shift[0]
+        y2 = s * (cx - cx0) + c * (cy - cy0) + cy0 + shift[1]
+        img += a * np.exp(-((xs - x2) ** 2 + (ys - y2) ** 2) / (2 * sg**2))
+    img = (img - img.min()) / (img.max() - img.min() + 1e-12)
+    return img.astype(np.float32), centers, sigmas
+
+
+def test_sift_detects_blobs():
+    rng = np.random.default_rng(0)
+    img, centers, sigmas = _render_pattern(rng)
+    kp, desc = extract_sift(img, SiftOptions(max_num_features=500))
+    assert len(kp) >= 20
+    assert desc.shape[1] == 128
+    assert desc.dtype == np.uint8
+    # A good fraction of blob centers have a keypoint within a few pixels.
+    found = 0
+    for (cx, cy) in centers:
+        d = np.min(np.hypot(kp[:, 0] - cx, kp[:, 1] - cy))
+        if d < 3.0:
+            found += 1
+    assert found >= 0.5 * len(centers)
+
+
+def test_sift_match_translated():
+    """Keypoints must match across a translated copy with consistent offset."""
+    rng = np.random.default_rng(1)
+    img1, _, _ = _render_pattern(rng, shift=(0, 0))
+    rng = np.random.default_rng(1)
+    img2, _, _ = _render_pattern(rng, shift=(13, -7))
+    kp1, d1 = extract_sift(img1, SiftOptions(max_num_features=500))
+    kp2, d2 = extract_sift(img2, SiftOptions(max_num_features=500))
+    matches = match_descriptors(d1, d2)
+    assert len(matches) >= 15
+    dx = kp2[matches[:, 1], 0] - kp1[matches[:, 0], 0]
+    dy = kp2[matches[:, 1], 1] - kp1[matches[:, 0], 1]
+    # The majority offset equals the translation.
+    good = (np.abs(dx - 13) < 2.5) & (np.abs(dy + 7) < 2.5)
+    assert good.mean() > 0.7, f"inlier ratio {good.mean():.2f} over {len(matches)}"
+
+
+def test_match_descriptors_identity():
+    rng = np.random.default_rng(2)
+    d = rng.integers(0, 256, (100, 128), dtype=np.uint8)
+    matches = match_descriptors(d, d)
+    # Every descriptor matches itself (ratio test may drop near-duplicates).
+    assert len(matches) >= 90
+    eq = matches[:, 0] == matches[:, 1]
+    assert eq.all()
+
+
+def test_match_ratio_test_rejects_ambiguous():
+    rng = np.random.default_rng(3)
+    base = rng.integers(30, 220, (50, 128), dtype=np.int64)
+    # d2 contains two equally-noisy copies of each -> best/second-best
+    # distances are comparable and the ratio test must reject.
+    noise1 = rng.integers(-15, 16, base.shape)
+    noise2 = rng.integers(-15, 16, base.shape)
+    d2 = np.concatenate([base + noise1, base + noise2]).astype(np.uint8)
+    matches = match_descriptors(base.astype(np.uint8), d2)
+    assert len(matches) < 5
+
+
+def test_match_pairs_batched():
+    rng = np.random.default_rng(4)
+    descs = [rng.integers(0, 256, (64, 128), dtype=np.uint8) for _ in range(4)]
+    descs.append(descs[0].copy())  # pair (0, 4) matches fully
+    pairs = np.array([[0, 1], [0, 4]])
+    out = match_pairs_batched(descs, pairs, capacity=128)
+    assert len(out) == 2
+    assert len(out[1]) >= 60
+    assert (out[1][:, 0] == out[1][:, 1]).all()
+
+
+def test_match_guided_epipolar_filter():
+    rng = np.random.default_rng(5)
+    n = 60
+    d = rng.integers(0, 256, (n, 128), dtype=np.uint8)
+    xy1 = rng.uniform(0, 500, (n, 2)).astype(np.float32)
+    # True geometry: pure horizontal shift -> F ~ [e]_x for translation (1,0,0):
+    # y2 = y1 (epipolar lines horizontal).
+    F = np.array([[0, 0, 0], [0, 0, -1], [0, 1, 0]], dtype=np.float64)
+    xy2 = xy1 + np.array([20.0, 0.0], dtype=np.float32)
+    matches = match_guided(d, d, xy1, xy2, F)
+    assert len(matches) >= n - 5
+    # Corrupt the y-coordinates of half of image-2 points -> those violate
+    # the constraint and are dropped.
+    xy2_bad = xy2.copy()
+    xy2_bad[: n // 2, 1] += 50.0
+    matches2 = match_guided(d, d, xy1, xy2_bad, F)
+    matched1 = set(matches2[:, 0].tolist())
+    assert all(i not in matched1 for i in range(n // 2))
