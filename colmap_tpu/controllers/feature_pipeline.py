@@ -1,0 +1,187 @@
+"""Feature extraction and matching pipelines (image dir / DB orchestration).
+
+reference behavior: src/colmap/controllers/feature_extraction.cc (3-stage
+reader→extractor→writer thread pipeline) and feature_matching.cc (pair
+blocks → GPU matcher workers → verifier pool → DB). The thread/queue
+machinery collapses into host loops feeding batched device calls
+(SURVEY §2.9 P1/P2): images stream through the SIFT program, pair blocks
+stream through the vmapped matcher, verification runs the vectorized
+two-view RANSAC, and results land in the SQLite database.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from colmap_tpu.estimators.two_view_geometry import (
+    TwoViewGeometryOptions,
+    estimate_two_view_geometry,
+)
+from colmap_tpu.feature.matcher import MatchingOptions, match_descriptors
+from colmap_tpu.feature.pairing import (
+    ExhaustivePairingOptions,
+    SequentialPairingOptions,
+    exhaustive_pairs,
+    sequential_pairs,
+)
+from colmap_tpu.feature.sift import SiftOptions, extract_sift
+from colmap_tpu.scene.database import Database
+from colmap_tpu.scene.types import Camera
+from colmap_tpu.sensor import models as camera_models
+
+
+@dataclasses.dataclass
+class ImageReaderOptions:
+    """reference: controllers/image_reader.h — camera init from EXIF or
+    defaults; camera modes single/per-image."""
+
+    camera_model: str = "SIMPLE_RADIAL"
+    single_camera: bool = True
+    default_focal_length_factor: float = 1.2
+    camera_params: Optional[str] = None  # comma-separated explicit params
+
+
+def _load_image_gray(path: str) -> np.ndarray:
+    from PIL import Image as PILImage
+
+    img = PILImage.open(path).convert("L")
+    return np.asarray(img, dtype=np.uint8)
+
+
+def run_feature_extraction(
+    database: Database,
+    image_dir: str,
+    image_names: Optional[Sequence[str]] = None,
+    reader_options: ImageReaderOptions = ImageReaderOptions(),
+    sift_options: SiftOptions = SiftOptions(),
+) -> List[int]:
+    """Extract features for all images in a directory into the database.
+
+    Returns the list of image ids.
+    """
+    if image_names is None:
+        image_names = sorted(
+            f
+            for f in os.listdir(image_dir)
+            if f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff"))
+        )
+    model_id = camera_models.MODEL_NAME_TO_ID[reader_options.camera_model]
+    camera_id = None
+    image_ids = []
+    for name in image_names:
+        img = _load_image_gray(os.path.join(image_dir, name))
+        h, w = img.shape
+        if camera_id is None or not reader_options.single_camera:
+            focal = reader_options.default_focal_length_factor * max(w, h)
+            cam = Camera.create(0, model_id, focal, w, h)
+            if reader_options.camera_params:
+                cam.params = np.array(
+                    [float(v) for v in reader_options.camera_params.split(",")]
+                )
+                cam.has_prior_focal_length = True
+            cam.camera_id = None
+            camera_id = database.write_camera(
+                Camera(
+                    camera_id=0, model_id=model_id, width=w, height=h,
+                    params=cam.params, has_prior_focal_length=cam.has_prior_focal_length,
+                ),
+                use_camera_id=False,
+            )
+        image_id = database.write_image(name, camera_id)
+        kp, desc = extract_sift(img, sift_options)
+        # DB keypoint blob: x, y, scale, orientation (4-col format).
+        database.write_keypoints(image_id, kp[:, :4])
+        database.write_descriptors(image_id, desc)
+        image_ids.append(image_id)
+    database.commit()
+    return image_ids
+
+
+@dataclasses.dataclass
+class MatchingPipelineOptions:
+    matching: MatchingOptions = dataclasses.field(default_factory=MatchingOptions)
+    verification: TwoViewGeometryOptions = dataclasses.field(
+        default_factory=TwoViewGeometryOptions
+    )
+    min_num_inliers: int = 15
+
+
+def _match_and_verify_pairs(
+    database: Database,
+    pairs: Sequence[Tuple[int, int]],
+    options: MatchingPipelineOptions,
+):
+    cameras = database.read_cameras()
+    images = {iid: (name, cid) for (iid, name, cid) in database.read_images()}
+    desc_cache: Dict[int, np.ndarray] = {}
+    kp_cache: Dict[int, np.ndarray] = {}
+
+    def get_desc(iid):
+        if iid not in desc_cache:
+            desc_cache[iid] = database.read_descriptors(iid)
+        return desc_cache[iid]
+
+    def get_kp(iid):
+        if iid not in kp_cache:
+            kp_cache[iid] = database.read_keypoints(iid)
+        return kp_cache[iid]
+
+    n_verified = 0
+    for (id1, id2) in pairs:
+        d1, d2 = get_desc(id1), get_desc(id2)
+        matches = match_descriptors(d1, d2, options.matching)
+        database.write_matches(id1, id2, matches)
+        if len(matches) < options.min_num_inliers:
+            continue
+        cam1 = cameras[images[id1][1]]
+        cam2 = cameras[images[id2][1]]
+        g = estimate_two_view_geometry(
+            cam1, get_kp(id1)[:, :2], cam2, get_kp(id2)[:, :2], matches,
+            options.verification,
+        )
+        if len(g.inlier_matches) >= options.min_num_inliers:
+            database.write_two_view_geometry(id1, id2, g)
+            n_verified += 1
+    database.commit()
+    return n_verified
+
+
+def run_exhaustive_matching(
+    database: Database,
+    options: MatchingPipelineOptions = MatchingPipelineOptions(),
+    pairing: ExhaustivePairingOptions = ExhaustivePairingOptions(),
+) -> int:
+    """reference behavior: CreateExhaustiveFeatureMatcher
+    (controllers/feature_matching.cc:330)."""
+    image_ids = [iid for (iid, _, _) in database.read_images()]
+    n = 0
+    for block in exhaustive_pairs(image_ids, pairing):
+        n += _match_and_verify_pairs(database, block, options)
+    return n
+
+
+def run_sequential_matching(
+    database: Database,
+    options: MatchingPipelineOptions = MatchingPipelineOptions(),
+    pairing: SequentialPairingOptions = SequentialPairingOptions(),
+) -> int:
+    """reference behavior: CreateSequentialFeatureMatcher."""
+    rows = database.read_images()
+    # Sequence order by name (reference orders sequentially by name).
+    rows = sorted(rows, key=lambda r: r[1])
+    image_ids = [iid for (iid, _, _) in rows]
+    pairs = sequential_pairs(image_ids, pairing)
+    return _match_and_verify_pairs(database, pairs, options)
+
+
+def run_matches_import(
+    database: Database,
+    pairs: Sequence[Tuple[int, int]],
+    options: MatchingPipelineOptions = MatchingPipelineOptions(),
+) -> int:
+    """reference behavior: matches_importer path (verify given pairs)."""
+    return _match_and_verify_pairs(database, pairs, options)

@@ -23,12 +23,18 @@ def problem_from_reconstruction(
     image_ids: Optional[List[int]] = None,
     point_ids: Optional[List[int]] = None,
     dtype=jnp.float64,
+    bucket: bool = True,
 ) -> Tuple[BAProblem, Dict]:
     """Pack (a subset of) a reconstruction into BAProblem arrays.
 
     Only observations where both the image and the 3D point are selected are
     included. Returns (problem, index) where index maps array rows back to
     ids: {"image_ids", "camera_ids", "point_ids", "model_id"}.
+
+    With ``bucket=True`` the frame/point/observation counts are padded to
+    powers of two (weight-0 rows / identity padding) so repeated BA calls in
+    the incremental mapper reuse compiled programs instead of recompiling
+    per size.
     """
     if image_ids is None:
         image_ids = recon.reg_image_ids()
@@ -71,16 +77,42 @@ def problem_from_reconstruction(
             obs_xy.append(image.points2D_xy[p2d_idx])
 
     n_obs = len(obs_frame)
+    quat_np = quat
+    t_np = t
+    points_np = points
+    obs_frame_np = np.array(obs_frame, dtype=np.int32)
+    obs_cam_np = np.array(obs_cam, dtype=np.int32)
+    obs_point_np = np.array(obs_point, dtype=np.int32)
+    obs_xy_np = np.array(obs_xy, dtype=np.float64).reshape(n_obs, 2)
+    obs_w_np = np.ones(n_obs)
+
+    if bucket:
+        from colmap_tpu.utils.bucketing import bucket_size, pad_rows
+
+        fb = bucket_size(len(image_ids), 8)
+        pb = bucket_size(max(len(point_ids), 1), 64)
+        ob = bucket_size(max(n_obs, 1), 256)
+        # Frame padding: identity quats keep quaternion math well defined.
+        pad_q = np.tile(np.array([1.0, 0, 0, 0]), (fb - len(image_ids), 1))
+        quat_np = np.concatenate([quat, pad_q]) if fb > len(image_ids) else quat
+        t_np = pad_rows(t, fb)
+        points_np = pad_rows(points, pb)
+        obs_frame_np = pad_rows(obs_frame_np, ob)
+        obs_cam_np = pad_rows(obs_cam_np, ob)
+        obs_point_np = pad_rows(obs_point_np, ob)
+        obs_xy_np = pad_rows(obs_xy_np, ob)
+        obs_w_np = pad_rows(obs_w_np, ob)
+
     problem = BAProblem(
-        quat=jnp.asarray(quat, dtype=dtype),
-        t=jnp.asarray(t, dtype=dtype),
+        quat=jnp.asarray(quat_np, dtype=dtype),
+        t=jnp.asarray(t_np, dtype=dtype),
         cam_params=jnp.asarray(cam_params, dtype=dtype),
-        points=jnp.asarray(points, dtype=dtype),
-        obs_frame=jnp.asarray(np.array(obs_frame, dtype=np.int32)),
-        obs_cam=jnp.asarray(np.array(obs_cam, dtype=np.int32)),
-        obs_point=jnp.asarray(np.array(obs_point, dtype=np.int32)),
-        obs_xy=jnp.asarray(np.array(obs_xy, dtype=np.float64).reshape(n_obs, 2), dtype=dtype),
-        obs_w=jnp.ones(n_obs, dtype=dtype),
+        points=jnp.asarray(points_np, dtype=dtype),
+        obs_frame=jnp.asarray(obs_frame_np),
+        obs_cam=jnp.asarray(obs_cam_np),
+        obs_point=jnp.asarray(obs_point_np),
+        obs_xy=jnp.asarray(obs_xy_np, dtype=dtype),
+        obs_w=jnp.asarray(obs_w_np, dtype=dtype),
     )
     index = {
         "image_ids": image_ids,

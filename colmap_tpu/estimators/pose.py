@@ -57,14 +57,19 @@ def estimate_absolute_pose(
     if n < 4:
         return None, np.zeros(n, dtype=bool), None
 
-    xy = jnp.asarray(np.asarray(points2D), dtype=jnp.float64)
-    X = jnp.asarray(np.asarray(points3D), dtype=jnp.float64)
+    from colmap_tpu.utils.bucketing import bucket_size, pad_rows
+
+    bucket = bucket_size(n, 128)
+    xy = jnp.asarray(pad_rows(np.asarray(points2D), bucket), dtype=jnp.float64)
+    X = jnp.asarray(pad_rows(np.asarray(points3D), bucket), dtype=jnp.float64)
+    row_valid = jnp.asarray(np.arange(bucket) < n)
     params = jnp.asarray(camera.params)
     model_id = int(camera.model_id)
 
     # Normalized bearings once; the P3P estimator consumes rays and the
     # residual reprojects through the true camera model.
     rays, rays_valid = camera_models.cam_ray_from_img(model_id, params, xy)
+    rays_valid = rays_valid & row_valid
 
     # Threshold in normalized units (angle-ish): convert px -> normalized.
     thresh_n = camera.cam_from_img_threshold(options.max_error_px)
@@ -117,7 +122,7 @@ def estimate_absolute_pose(
     )
     mask = rays_valid
     res = ransac(
-        jax.random.PRNGKey(seed), n, 3, sample_estimate_packed, residual,
+        jax.random.PRNGKey(seed), bucket, 3, sample_estimate_packed, residual,
         opts, mask=mask, local_refine_fn=refine,
     )
     if not bool(res.success):
@@ -125,7 +130,7 @@ def estimate_absolute_pose(
     model = np.asarray(res.model)
     R, t = model[:, :3], model[:, 3]
     quat = np.asarray(rot.rotmat_to_quat(jnp.asarray(R)))
-    return Pose(quat, t), np.asarray(res.inlier_mask), None
+    return Pose(quat, t), np.asarray(res.inlier_mask)[:n], None
 
 
 @dataclasses.dataclass
@@ -155,17 +160,20 @@ def refine_absolute_pose(
     n = len(points2D)
     if inlier_mask is None:
         inlier_mask = np.ones(n, dtype=bool)
-    w = inlier_mask.astype(np.float64)
+    from colmap_tpu.utils.bucketing import bucket_size, pad_rows
+
+    bucket = bucket_size(n, 128)
+    w = pad_rows(inlier_mask.astype(np.float64), bucket)
 
     problem = ba.BAProblem(
         quat=jnp.asarray(cam_from_world.quat, dtype=jnp.float64)[None],
         t=jnp.asarray(cam_from_world.t, dtype=jnp.float64)[None],
         cam_params=jnp.asarray(camera.params, dtype=jnp.float64)[None],
-        points=jnp.asarray(np.asarray(points3D), dtype=jnp.float64),
-        obs_frame=jnp.zeros(n, dtype=jnp.int32),
-        obs_cam=jnp.zeros(n, dtype=jnp.int32),
-        obs_point=jnp.arange(n, dtype=jnp.int32),
-        obs_xy=jnp.asarray(np.asarray(points2D), dtype=jnp.float64),
+        points=jnp.asarray(pad_rows(np.asarray(points3D), bucket), dtype=jnp.float64),
+        obs_frame=jnp.zeros(bucket, dtype=jnp.int32),
+        obs_cam=jnp.zeros(bucket, dtype=jnp.int32),
+        obs_point=jnp.arange(bucket, dtype=jnp.int32),
+        obs_xy=jnp.asarray(pad_rows(np.asarray(points2D), bucket), dtype=jnp.float64),
         obs_w=jnp.asarray(w),
     )
     ba_options = ba.BAOptions(

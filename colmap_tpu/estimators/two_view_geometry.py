@@ -168,9 +168,17 @@ def estimate_two_view_geometry(
         g.config = int(TwoViewGeometryConfig.DEGENERATE)
         return g
 
-    x1 = jnp.asarray(np.asarray(points1)[matches[:, 0]], dtype=jnp.float64)
-    x2 = jnp.asarray(np.asarray(points2)[matches[:, 1]], dtype=jnp.float64)
-    mask = jnp.ones(len(matches), dtype=bool)
+    from colmap_tpu.utils.bucketing import bucket_size, pad_rows
+
+    n_matches = len(matches)
+    bucket = bucket_size(n_matches, 256)
+    x1 = jnp.asarray(
+        pad_rows(np.asarray(points1)[matches[:, 0]], bucket), dtype=jnp.float64
+    )
+    x2 = jnp.asarray(
+        pad_rows(np.asarray(points2)[matches[:, 1]], bucket), dtype=jnp.float64
+    )
+    mask = jnp.asarray(np.arange(bucket) < n_matches)
     key = jax.random.PRNGKey(seed)
     kf, ke, kh = jax.random.split(key, 3)
 
@@ -241,7 +249,9 @@ def estimate_two_view_geometry(
     ):
         g.config = int(TwoViewGeometryConfig.WATERMARK)
 
-    g.inlier_matches = np.asarray(matches)[np.asarray(best_mask)].astype(np.uint32)
+    g.inlier_matches = (
+        np.asarray(matches)[np.asarray(best_mask)[:n_matches]].astype(np.uint32)
+    )
 
     if options.compute_relative_pose and g.config in (
         int(TwoViewGeometryConfig.CALIBRATED),
@@ -262,11 +272,18 @@ def _recover_pose(g: TwoViewGeometry, camera1, points1, camera2, points2):
 
     if len(g.inlier_matches) < 8:
         return
+    from colmap_tpu.utils.bucketing import bucket_size, pad_rows
+
+    n_inl = len(g.inlier_matches)
+    bucket = bucket_size(n_inl, 256)
+    # Padding repeats the first inlier: harmless for cheirality voting.
+    pad_idx = np.zeros(bucket, dtype=np.int64)
+    pad_idx[:n_inl] = np.arange(n_inl)
     x1 = jnp.asarray(
-        np.asarray(points1)[g.inlier_matches[:, 0]], dtype=jnp.float64
+        np.asarray(points1)[g.inlier_matches[pad_idx, 0]], dtype=jnp.float64
     )
     x2 = jnp.asarray(
-        np.asarray(points2)[g.inlier_matches[:, 1]], dtype=jnp.float64
+        np.asarray(points2)[g.inlier_matches[pad_idx, 1]], dtype=jnp.float64
     )
     x1n, _ = camera_models.cam_from_img(camera1.model_id, jnp.asarray(camera1.params), x1)
     x2n, _ = camera_models.cam_from_img(camera2.model_id, jnp.asarray(camera2.params), x2)
@@ -288,7 +305,7 @@ def _recover_pose(g: TwoViewGeometry, camera1, points1, camera2, points2):
     c1 = jnp.zeros(3, dtype=x1.dtype)
     c2 = -jnp.einsum("ij,i->j", R, t)
     angles = triangulation_angle(c1, c2, points3D)
-    ok_np = np.asarray(ok)
+    ok_np = np.asarray(ok) & (np.arange(bucket) < n_inl)
     if ok_np.any():
         g.tri_angle = float(np.median(np.asarray(angles)[ok_np]))
     else:

@@ -195,53 +195,88 @@ def _orientations_and_descriptors(gauss, xs, ys, scales, sigmas, valid,
 
     NBINS_ORI = 36
 
+    def bilinear(field, yy, xx):
+        """Bilinear sample of (H, W) field at float coords (broadcast)."""
+        y0 = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, H - 2)
+        x0 = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, W - 2)
+        fy = jnp.clip(yy - y0, 0.0, 1.0)
+        fx = jnp.clip(xx - x0, 0.0, 1.0)
+        v00 = field[y0, x0]
+        v01 = field[y0, x0 + 1]
+        v10 = field[y0 + 1, x0]
+        v11 = field[y0 + 1, x0 + 1]
+        return (
+            v00 * (1 - fy) * (1 - fx)
+            + v01 * (1 - fy) * fx
+            + v10 * fy * (1 - fx)
+            + v11 * fy * fx
+        )
+
+    def sample_grads(lvl, yy, xx):
+        """Bilinear-sampled gradient vector (gx, gy) -> (mag, angle)."""
+        sgx = bilinear(gx[lvl], yy, xx)
+        sgy = bilinear(gy[lvl], yy, xx)
+        m = jnp.sqrt(sgx * sgx + sgy * sgy + 1e-20)
+        a = jnp.arctan2(sgy, sgx)
+        return m, a
+
     def per_kp(x, y, lvl, sigma):
         # Sample grid around the keypoint, spacing ~ sigma.
-        coords_y = y + sigma * win  # (16,)
-        coords_x = x + sigma * win
-        iy = jnp.clip(jnp.round(coords_y).astype(jnp.int32), 0, H - 1)
-        ix = jnp.clip(jnp.round(coords_x).astype(jnp.int32), 0, W - 1)
-        m = mag[lvl][iy[:, None], ix[None, :]]  # (16, 16)
-        a = ang[lvl][iy[:, None], ix[None, :]]
+        coords_y = y + sigma * win[:, None]
+        coords_x = x + sigma * win[None, :]
+        m, a = sample_grads(
+            lvl,
+            jnp.broadcast_to(coords_y, (2 * R, 2 * R)),
+            jnp.broadcast_to(coords_x, (2 * R, 2 * R)),
+        )
         # Gaussian weight over the window.
         d2 = (win[:, None] ** 2 + win[None, :] ** 2) / (2.0 * (1.5 * R / 3.0) ** 2)
         w = jnp.exp(-d2)
-        wm = m * w
-        # Orientation histogram.
-        bin_f = (a + jnp.pi) / (2 * jnp.pi) * NBINS_ORI
-        bin_i = jnp.clip(bin_f.astype(jnp.int32), 0, NBINS_ORI - 1)
-        hist = jnp.zeros(NBINS_ORI, dtype=dtype).at[bin_i.reshape(-1)].add(
-            wm.reshape(-1)
-        )
+        wm = (m * w).reshape(-1)
+        # Orientation histogram via dense circular soft-assignment: each
+        # sample splits linearly over its two neighboring bins. Expressed as
+        # a (samples, bins) weight matrix -> one matvec (scatter-free).
+        bin_f = ((a + jnp.pi) / (2 * jnp.pi) * NBINS_ORI - 0.5).reshape(-1)
+        bins = jnp.arange(NBINS_ORI, dtype=dtype)
+        dist = jnp.abs(bin_f[:, None] - bins[None, :])
+        dist = jnp.minimum(dist, NBINS_ORI - dist)
+        wb = jnp.maximum(0.0, 1.0 - dist)
+        hist = wm @ wb
         # Smooth the histogram (3-tap, applied twice).
         for _ in range(2):
             hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
-        return hist, (m, a, w)
+        return hist, ()
 
     def descriptor(x, y, lvl, sigma, theta):
-        # Rotated 16x16 sampling grid; 4x4 spatial bins x 8 orientations.
+        # Rotated 16x16 sampling grid; 4x4 spatial bins x 8 orientations
+        # with full trilinear soft-assignment (standard SIFT binning).
         c, s = jnp.cos(theta), jnp.sin(theta)
-        u = win[:, None] * jnp.ones((1, 2 * R), dtype)  # row offsets
-        v = jnp.ones((2 * R, 1), dtype) * win[None, :]
+        u = jnp.broadcast_to(win[:, None], (2 * R, 2 * R))  # row offsets
+        v = jnp.broadcast_to(win[None, :], (2 * R, 2 * R))
         # Rotate sample offsets into image frame.
         dx = (c * v - s * u) * sigma
         dy = (s * v + c * u) * sigma
-        iy = jnp.clip(jnp.round(y + dy).astype(jnp.int32), 0, H - 1)
-        ix = jnp.clip(jnp.round(x + dx).astype(jnp.int32), 0, W - 1)
-        m = mag[lvl][iy, ix]
-        a = ang[lvl][iy, ix] - theta
+        m, a = sample_grads(lvl, y + dy, x + dx)
+        a = a - theta
         d2 = (u**2 + v**2) / (2.0 * (0.5 * 2 * R) ** 2)
         w = jnp.exp(-d2)
         wm = m * w
-        # Spatial bins: 4x4 over the 16x16 window.
-        bu = jnp.clip(((u + R - 0.5) / (2 * R) * 4).astype(jnp.int32), 0, 3)
-        bv = jnp.clip(((v + R - 0.5) / (2 * R) * 4).astype(jnp.int32), 0, 3)
-        ao = jnp.mod(a, 2 * jnp.pi)
-        bo = jnp.clip((ao / (2 * jnp.pi) * 8).astype(jnp.int32), 0, 7)
-        flat_bin = (bu * 4 + bv) * 8 + bo
-        desc = jnp.zeros(128, dtype=dtype).at[flat_bin.reshape(-1)].add(
-            wm.reshape(-1)
-        )
+        # Continuous bin coordinates: spatial in [-0.5, 3.5], orient in [0, 8).
+        # Trilinear soft-assignment expressed densely: per-axis hat-function
+        # weight matrices contracted by one einsum (scatter-free, MXU/VPU
+        # friendly).
+        pu = ((u + R - 0.5) / (2 * R) * 4.0 - 0.5).reshape(-1)
+        pv = ((v + R - 0.5) / (2 * R) * 4.0 - 0.5).reshape(-1)
+        po = (jnp.mod(a, 2 * jnp.pi) / (2 * jnp.pi) * 8.0 - 0.5).reshape(-1)
+        wm_f = wm.reshape(-1)
+        bins4 = jnp.arange(4, dtype=dtype)
+        bins8 = jnp.arange(8, dtype=dtype)
+        wu = jnp.maximum(0.0, 1.0 - jnp.abs(pu[:, None] - bins4[None, :]))
+        wv = jnp.maximum(0.0, 1.0 - jnp.abs(pv[:, None] - bins4[None, :]))
+        od = jnp.abs(po[:, None] - bins8[None, :])
+        od = jnp.minimum(od, 8.0 - od)
+        wo = jnp.maximum(0.0, 1.0 - od)
+        desc = jnp.einsum("s,su,sv,so->uvo", wm_f, wu, wv, wo).reshape(128)
         # L1-root normalization (sift.h Normalization::L1_ROOT).
         desc = desc / jnp.maximum(jnp.sum(jnp.abs(desc)), 1e-12)
         desc = jnp.sqrt(desc)
@@ -279,15 +314,11 @@ def _orientations_and_descriptors(gauss, xs, ys, scales, sigmas, valid,
     return xs_r, ys_r, sig_r, th_r, descs, ok_r
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3))
-def extract_octave(img, octave_idx: int, options: SiftOptions, dtype=jnp.float32):
-    """Detect + describe keypoints for one octave of an image.
+@partial(jax.jit, static_argnums=(1,))
+def detect_octave(img, options: SiftOptions):
+    """Detect + refine extrema for one octave (fixed candidate capacity).
 
-    img: the octave's base image (H, W), already scaled.
-    Returns fixed-capacity arrays:
-        xy (K*n_ori, 2) in octave pixel coords, scale (K*n_ori,),
-        orientation (K*n_ori,), response, descriptors (K*n_ori, 128),
-        valid mask.
+    Returns (gauss stack, x, y, scale_idx, sigma, response, keep mask).
     """
     gauss, dog = build_octave(img, options)
     mask = _find_extrema(dog, options.peak_threshold)
@@ -306,17 +337,18 @@ def extract_octave(img, octave_idx: int, options: SiftOptions, dtype=jnp.float32
     x_ref, y_ref, s_ref, response, keep = _refine_candidates(
         dog, ys, xs, ss, valid, options
     )
-    # Keypoint scale: sigma0 * 2^(s/S) in octave units.
     Sres = options.octave_resolution
     sigma = options.sigma0 * (2.0 ** ((s_ref + 1.0) / Sres))
     lvl = jnp.clip(jnp.round(s_ref).astype(jnp.int32) + 1, 0, Sres + 2)
+    return gauss, x_ref, y_ref, lvl, sigma, response, keep
 
-    xs_r, ys_r, sig_r, th_r, descs, ok_r = _orientations_and_descriptors(
-        gauss, x_ref, y_ref, lvl, sigma, keep, options
+
+@partial(jax.jit, static_argnums=(6,))
+def describe_octave(gauss, xs, ys, lvls, sigmas, valid, options: SiftOptions):
+    """Orientation + descriptor stage over a compacted keypoint batch."""
+    return _orientations_and_descriptors(
+        gauss, xs, ys, lvls, sigmas, valid, options
     )
-    n_ori = options.max_num_orientations
-    resp_r = jnp.repeat(response, n_ori)
-    return xs_r, ys_r, sig_r, th_r, resp_r, descs, ok_r
 
 
 def extract_sift(image: np.ndarray, options: SiftOptions = None) -> Tuple[np.ndarray, np.ndarray]:
@@ -345,27 +377,37 @@ def extract_sift(image: np.ndarray, options: SiftOptions = None) -> Tuple[np.nda
     for octave in range(options.num_octaves):
         if min(base.shape) < 32:
             break
-        xs, ys, sig, th, resp, descs, ok = extract_octave(base, octave, options)
-        ok_np = np.asarray(ok)
-        if ok_np.any():
-            kp = np.stack(
-                [
-                    np.asarray(xs)[ok_np] * scale,
-                    np.asarray(ys)[ok_np] * scale,
-                    np.asarray(sig)[ok_np] * scale,
-                    np.asarray(th)[ok_np],
-                    np.asarray(resp)[ok_np],
-                ],
-                axis=1,
+        gauss, xr, yr, lvl, sig, resp, keep = detect_octave(base, options)
+        keep_np = np.asarray(keep)
+        n_kp = int(keep_np.sum())
+        if n_kp > 0:
+            # Compact survivors to a power-of-two bucket so the (expensive)
+            # descriptor stage only runs on real keypoints.
+            bucket = max(64, 1 << int(np.ceil(np.log2(n_kp))))
+            sel = np.nonzero(keep_np)[0]
+            pad = np.zeros(bucket, dtype=np.int64)
+            pad[:n_kp] = sel
+            idx = jnp.asarray(pad)
+            vmask = jnp.asarray(np.arange(bucket) < n_kp)
+            xs_r, ys_r, sig_r, th_r, descs, ok_r = describe_octave(
+                gauss, xr[idx], yr[idx], lvl[idx], sig[idx], vmask, options
             )
-            all_kp.append(kp)
-            all_desc.append(np.asarray(descs)[ok_np])
-        base = _downsample2(
-            np.asarray(
-                build_octave(base, options)[0][options.octave_resolution]
-            )
-        )
-        base = jnp.asarray(base)
+            resp_r = jnp.repeat(resp[idx], options.max_num_orientations)
+            ok_np = np.asarray(ok_r)
+            if ok_np.any():
+                kp = np.stack(
+                    [
+                        np.asarray(xs_r)[ok_np] * scale,
+                        np.asarray(ys_r)[ok_np] * scale,
+                        np.asarray(sig_r)[ok_np] * scale,
+                        np.asarray(th_r)[ok_np],
+                        np.asarray(resp_r)[ok_np],
+                    ],
+                    axis=1,
+                )
+                all_kp.append(kp)
+                all_desc.append(np.asarray(descs)[ok_np])
+        base = _downsample2(gauss[options.octave_resolution])
         scale *= 2.0
 
     if not all_kp:

@@ -1,0 +1,299 @@
+"""Global (GLOMAP-style) mapper.
+
+reference behavior: src/colmap/sfm/global_mapper.{h,cc} — Solve() pipeline
+(global_mapper.cc:502-613): rotation averaging → track establishment →
+global positioning → two-stage iterative bundle adjustment (rotations fixed
+first, then joint) → retriangulation + refinement. Every phase is already a
+batch optimization, making this the most TPU-friendly mapper: rotation
+averaging and positioning run as CG/IRLS array programs, BA is the shared
+LM+Schur core.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from colmap_tpu.estimators import bundle_adjustment as ba
+from colmap_tpu.estimators.ba_setup import problem_from_reconstruction, update_reconstruction
+from colmap_tpu.estimators.global_positioning import (
+    GlobalPositioningOptions,
+    solve_global_positioning,
+)
+from colmap_tpu.estimators.rotation_averaging import (
+    RotationAveragingOptions,
+    estimate_rotations,
+)
+from colmap_tpu.scene.database_cache import DatabaseCache
+from colmap_tpu.scene.reconstruction import Reconstruction
+from colmap_tpu.scene.types import (
+    INVALID_POINT3D,
+    Frame,
+    Image,
+    Pose,
+    TrackElement,
+)
+from colmap_tpu.sensor import models as camera_models
+from colmap_tpu.utils.types import pair_id_to_image_pair
+
+
+@dataclasses.dataclass
+class GlobalMapperOptions:
+    """reference: global_mapper.h:63-110."""
+
+    min_num_view_per_track: int = 3
+    max_num_view_per_track: int = 30
+    keep_max_num_tracks: int = 50000
+    min_triangulation_angle_deg: float = 1.0
+    max_reproj_error_px: float = 4.0  # filtering after BA
+    num_iterative_ba_rounds: int = 3
+    rotation_averaging: RotationAveragingOptions = dataclasses.field(
+        default_factory=RotationAveragingOptions
+    )
+    positioning: GlobalPositioningOptions = dataclasses.field(
+        default_factory=GlobalPositioningOptions
+    )
+    ba: ba.BAOptions = dataclasses.field(
+        default_factory=lambda: ba.BAOptions(
+            max_iterations=30, pcg_iterations=40, loss="huber", loss_scale=2.0
+        )
+    )
+    verbose: bool = False
+
+
+class GlobalMapper:
+    def __init__(self, cache: DatabaseCache):
+        self.cache = cache
+
+    def _log(self, options, msg):
+        if options.verbose:
+            print(msg)
+
+    # ------------------------------------------------------------------
+    def solve(
+        self,
+        recon: Reconstruction,
+        rel_poses: Dict[int, Pose],
+        options: Optional[GlobalMapperOptions] = None,
+    ) -> bool:
+        """Run the full global pipeline.
+
+        rel_poses: pair_id -> cam2_from_cam1 relative pose for verified
+        pairs (decomposed two-view geometries).
+        """
+        if options is None:
+            options = GlobalMapperOptions()
+
+        # Instantiate scene entities from the cache.
+        if not recon.cameras:
+            for cid, cam in self.cache.cameras.items():
+                recon.add_camera(dataclasses.replace(cam, params=cam.params.copy()))
+            for rid, rig in self.cache.rigs.items():
+                recon.add_rig(rig)
+            for fid, frame in self.cache.frames.items():
+                recon.add_frame(Frame(frame_id=frame.frame_id, rig_id=frame.rig_id,
+                                      data_ids=list(frame.data_ids)))
+            for iid, image in self.cache.images.items():
+                img = Image(image_id=image.image_id, name=image.name,
+                            camera_id=image.camera_id, frame_id=image.frame_id)
+                img.points2D_xy = image.points2D_xy.copy()
+                img.points2D_p3d = np.full(image.num_points2D(), INVALID_POINT3D,
+                                           dtype=np.int64)
+                recon.add_image(img)
+
+        # 1. Rotation averaging over the view graph.
+        image_ids = sorted(recon.images.keys())
+        row = {iid: i for i, iid in enumerate(image_ids)}
+        edges, rel_quats, weights = [], [], []
+        for pair_id, pose21 in rel_poses.items():
+            id1, id2 = pair_id_to_image_pair(pair_id)
+            if id1 not in row or id2 not in row:
+                continue
+            edges.append((row[id1], row[id2]))
+            rel_quats.append(pose21.quat / np.linalg.norm(pose21.quat))
+            weights.append(
+                self.cache.correspondence_graph.num_correspondences_between(id1, id2)
+            )
+        if len(edges) < 1:
+            return False
+        self._log(options, f"Rotation averaging over {len(edges)} edges")
+        quats = estimate_rotations(
+            len(image_ids), np.asarray(edges), np.asarray(rel_quats),
+            np.asarray(weights, dtype=np.float64),
+            options=options.rotation_averaging,
+        )
+
+        # 2. Track establishment from the correspondence graph.
+        self._log(options, "Establishing tracks")
+        tracks = self._establish_tracks(recon, options)
+        if not tracks:
+            return False
+
+        # 3. Global positioning.
+        self._log(options, f"Global positioning: {len(tracks)} tracks")
+        obs_cam, obs_point, dirs = [], [], []
+        for t_idx, track in enumerate(tracks):
+            for (iid, p2d_idx) in track:
+                image = recon.images[iid]
+                cam = recon.cameras[image.camera_id]
+                uv, ok = camera_models.cam_from_img(
+                    cam.model_id, jnp.asarray(cam.params),
+                    jnp.asarray(image.points2D_xy[p2d_idx]),
+                )
+                if not bool(ok):
+                    continue
+                d_cam = np.concatenate([np.asarray(uv), [1.0]])
+                d_cam /= np.linalg.norm(d_cam)
+                # World direction: R_iᵀ d_cam.
+                from colmap_tpu.scene.types import Pose as _P
+
+                q = quats[row[iid]]
+                R = _P(q, np.zeros(3)).rotmat()
+                dirs.append(R.T @ d_cam)
+                obs_cam.append(row[iid])
+                obs_point.append(t_idx)
+
+        centers, points = solve_global_positioning(
+            len(image_ids), len(tracks),
+            np.asarray(obs_cam), np.asarray(obs_point), np.asarray(dirs),
+            options=options.positioning,
+        )
+
+        # Install poses and points into the reconstruction.
+        for iid in image_ids:
+            q = quats[row[iid]]
+            c = centers[row[iid]]
+            from colmap_tpu.scene.types import Pose as _P
+
+            t = -_P(q, np.zeros(3)).apply(c[None])[0]
+            recon.set_cam_from_world(iid, _P(q, t))
+            recon.register_frame(recon.images[iid].frame_id)
+        for t_idx, track in enumerate(tracks):
+            elements = [
+                TrackElement(iid, p2d_idx)
+                for (iid, p2d_idx) in track
+                if recon.images[iid].points2D_p3d[p2d_idx] == INVALID_POINT3D
+            ]
+            if len(elements) >= 2:
+                recon.add_point3D(points[t_idx], elements)
+
+        # 4. Iterative BA: stage 1 rotations fixed, then joint rounds.
+        self._log(options, "Stage-1 BA (rotations fixed)")
+        self._global_ba(recon, options, refine_rotations=False)
+        for i in range(options.num_iterative_ba_rounds):
+            self._log(options, f"Joint BA round {i + 1}")
+            self._global_ba(recon, options, refine_rotations=True)
+            n = self._filter_points(recon, options)
+            self._log(options, f"  filtered {n} observations")
+            if n == 0:
+                break
+        recon.update_point3D_errors()
+        return recon.num_reg_frames() >= 2
+
+    # ------------------------------------------------------------------
+    def _establish_tracks(self, recon, options) -> List[List[Tuple[int, int]]]:
+        """Union-find over feature correspondences -> consistent tracks.
+
+        reference behavior: GlobalMapper track establishment
+        (global_mapper.cc EstablishTracks): min 3 views, drop intra-image
+        conflicts, cap track length, keep longest tracks first.
+        """
+        graph = self.cache.correspondence_graph
+        parent: Dict[Tuple[int, int], Tuple[int, int]] = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+
+        for image_id in recon.images:
+            if not graph.exists_image(image_id):
+                continue
+            offsets, data_img, data_idx = graph.correspondence_arrays(image_id)
+            pt_idx = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+            for p, oid, oidx in zip(pt_idx, data_img, data_idx):
+                if int(oid) > image_id:
+                    union((image_id, int(p)), (int(oid), int(oidx)))
+
+        groups: Dict[Tuple[int, int], List[Tuple[int, int]]] = {}
+        for image_id in recon.images:
+            if not graph.exists_image(image_id):
+                continue
+            n_pts = recon.images[image_id].num_points2D()
+            for p in range(n_pts):
+                node = (image_id, p)
+                if node in parent or graph.has_correspondences(image_id, p):
+                    groups.setdefault(find(node), []).append(node)
+
+        tracks = []
+        for _, nodes in groups.items():
+            if len(nodes) < options.min_num_view_per_track:
+                continue
+            # Intra-image consistency: at most one observation per image.
+            by_img: Dict[int, Tuple[int, int]] = {}
+            consistent = True
+            for (iid, p) in nodes:
+                if iid in by_img:
+                    consistent = False
+                    break
+                by_img[iid] = (iid, p)
+            if not consistent:
+                continue
+            track = list(by_img.values())[: options.max_num_view_per_track]
+            if len(track) >= options.min_num_view_per_track:
+                tracks.append(track)
+        # Longest first, capped.
+        tracks.sort(key=len, reverse=True)
+        return tracks[: options.keep_max_num_tracks]
+
+    # ------------------------------------------------------------------
+    def _global_ba(self, recon, options, refine_rotations=True):
+        reg = recon.reg_image_ids()
+        if len(reg) < 2:
+            return
+        ba_opts = dataclasses.replace(options.ba, refine_rotations=refine_rotations)
+        problem, index = problem_from_reconstruction(recon, reg)
+        if problem.obs_xy.shape[0] < 10:
+            return
+        masks = ba.default_masks(problem, index["model_id"], ba_opts)
+        masks = ba.fix_gauge_two_frames(masks, 0, 1)
+        solved, _ = ba.solve(problem, index["model_id"], ba_opts, masks)
+        update_reconstruction(recon, solved, index)
+
+    def _filter_points(self, recon, options) -> int:
+        """Reprojection-error and angle filtering (normalized thresholds)."""
+        num_filtered = 0
+        for p3d_id in list(recon.points3D.keys()):
+            point = recon.points3D[p3d_id]
+            drop = []
+            for el in point.track:
+                img = recon.images[el.image_id]
+                cam = recon.cameras[img.camera_id]
+                pose = recon.cam_from_world(el.image_id)
+                Xc = pose.apply(point.xyz[None])[0]
+                if Xc[2] <= 0:
+                    drop.append(el)
+                    continue
+                proj, ok = camera_models.img_from_cam(
+                    cam.model_id, jnp.asarray(cam.params), jnp.asarray(Xc)
+                )
+                if not bool(ok) or np.linalg.norm(
+                    np.asarray(proj) - img.points2D_xy[el.point2D_idx]
+                ) > options.max_reproj_error_px:
+                    drop.append(el)
+            for el in drop:
+                if p3d_id in recon.points3D:
+                    recon.delete_observation(el.image_id, el.point2D_idx)
+                    num_filtered += 1
+        return num_filtered

@@ -48,8 +48,9 @@ def test_cost_and_residuals():
     recon, _ = _make_problem(noise_pose=0.0, noise_point=0.0)
     problem, index = problem_from_reconstruction(recon)
     r = ba.compute_residuals(problem, index["model_id"])
-    # Perfect scene: zero reprojection residuals.
-    assert float(jnp.max(jnp.abs(r))) < 1e-6
+    # Perfect scene: zero reprojection residuals (padded rows carry w=0).
+    r_real = jnp.abs(r) * problem.obs_w[:, None]
+    assert float(jnp.max(r_real)) < 1e-6
     cost = ba.compute_cost(problem, index["model_id"], ba.BAOptions())
     assert float(cost) < 1e-10
 
