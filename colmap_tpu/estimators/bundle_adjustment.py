@@ -493,9 +493,43 @@ def lm_step(problem: BAProblem, model_id: int, options: BAOptions,
     return out_problem, new_lam, new_nu, cost, new_cost, accepted
 
 
+@partial(jax.jit, static_argnums=(1, 2))
+def lm_solve_fused(problem: BAProblem, model_id: int, options: BAOptions,
+                   masks: BAMasks):
+    """Full LM solve as ONE device program (while_loop over lm_step).
+
+    Early exit on function tolerance or lambda saturation — no host syncs
+    between iterations. Returns (problem, final_cost, num_iterations).
+    """
+    dtype = problem.points.dtype
+    lam0 = jnp.asarray(options.initial_lambda, dtype=dtype)
+    nu0 = jnp.asarray(2.0, dtype=dtype)
+    cost0 = compute_cost(problem, model_id, options)
+
+    def cond(state):
+        problem, lam, nu, it, last_cost, done = state
+        return (~done) & (it < options.max_iterations)
+
+    def body(state):
+        problem, lam, nu, it, last_cost, done = state
+        problem, lam, nu, cost, new_cost, accepted = lm_step(
+            problem, model_id, options, masks, lam, nu
+        )
+        rel = jnp.abs(last_cost - new_cost) / jnp.maximum(new_cost, 1e-30)
+        done_now = (accepted & (rel < options.function_tolerance)) | (
+            (~accepted) & (lam >= options.max_lambda)
+        )
+        last_cost = jnp.where(accepted, new_cost, last_cost)
+        return problem, lam, nu, it + 1, last_cost, done_now
+
+    state = (problem, lam0, nu0, jnp.asarray(0), cost0, jnp.asarray(False))
+    problem, lam, nu, it, last_cost, _ = jax.lax.while_loop(cond, body, state)
+    return problem, compute_cost(problem, model_id, options), it
+
+
 def solve(problem: BAProblem, model_id: int, options: Optional[BAOptions] = None,
           masks: Optional[BAMasks] = None, verbose: bool = False):
-    """Run LM to convergence. Host loop over jitted steps.
+    """Run LM to convergence. Fused device loop (host loop when verbose).
 
     Returns (problem, summary dict).
     """
@@ -503,9 +537,20 @@ def solve(problem: BAProblem, model_id: int, options: Optional[BAOptions] = None
         options = BAOptions()
     if masks is None:
         masks = default_masks(problem, model_id, options)
+    initial_cost = float(compute_cost(problem, model_id, options))
+
+    if not verbose:
+        problem, final_cost, n_iters = lm_solve_fused(
+            problem, model_id, options, masks
+        )
+        return problem, {
+            "initial_cost": initial_cost,
+            "final_cost": float(final_cost),
+            "num_iterations": int(n_iters),
+        }
+
     lam = jnp.asarray(options.initial_lambda, dtype=problem.points.dtype)
     nu = jnp.asarray(2.0, dtype=problem.points.dtype)
-    initial_cost = float(compute_cost(problem, model_id, options))
     cost_prev = initial_cost
     n_iters = 0
     for it in range(options.max_iterations):
@@ -513,11 +558,10 @@ def solve(problem: BAProblem, model_id: int, options: Optional[BAOptions] = None
             problem, model_id, options, masks, lam, nu
         )
         n_iters += 1
-        if verbose:
-            print(
-                f"  LM it {it}: cost {float(cost):.6e} -> {float(new_cost):.6e} "
-                f"accepted={bool(accepted)} lam={float(lam):.2e}"
-            )
+        print(
+            f"  LM it {it}: cost {float(cost):.6e} -> {float(new_cost):.6e} "
+            f"accepted={bool(accepted)} lam={float(lam):.2e}"
+        )
         if bool(accepted):
             rel = abs(cost_prev - float(new_cost)) / max(float(new_cost), 1e-30)
             cost_prev = float(new_cost)

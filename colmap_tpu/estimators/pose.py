@@ -23,6 +23,52 @@ from colmap_tpu.scene.types import Camera, Pose
 from colmap_tpu.sensor import models as camera_models
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("options",))
+def _p3p_ransac(key, X, rays, uv, mask, max_error, options):
+    """Module-level jitted P3P LO-RANSAC (stable compile cache per shape).
+
+    X/rays/uv: (N, 3/3/2) padded arrays; max_error traced (normalized units).
+    """
+    bucket = X.shape[0]
+
+    def sample_estimate_packed(idxs):
+        Rs, ts = jax.vmap(p3p)(X[idxs], rays[idxs])
+        M = Rs.reshape(-1, 3, 3)
+        T = ts.reshape(-1, 3)
+        return jnp.concatenate([M, T[:, :, None]], axis=-1)
+
+    def residual(models):
+        R = models[..., :3]
+        t = models[..., 3]
+        Xc = jnp.einsum("mij,nj->mni", R, X) + t[:, None, :]
+        z = Xc[..., 2]
+        behind = z < 1e-8
+        safe_z = jnp.where(behind, 1.0, z)
+        proj = Xc[..., :2] / safe_z[..., None]
+        err = jnp.sum((proj - uv[None]) ** 2, axis=-1)
+        return jnp.where(behind, jnp.inf, err)
+
+    def refine(model, weights):
+        # Weighted EPnP-lite: Kabsch on back-projected points at current
+        # depths (cheap LO step).
+        R = model[..., :3]
+        t = model[..., 3]
+        Xc = jnp.einsum("ij,nj->ni", R, X) + t
+        depth = jnp.maximum(Xc[..., 2], 1e-6)
+        ray_full = jnp.concatenate([uv, jnp.ones_like(uv[..., :1])], axis=-1)
+        target = ray_full * depth[..., None]
+        R_new, t_new = kabsch(X, target, weights)
+        return jnp.concatenate([R_new, t_new[:, None]], axis=-1)
+
+    return ransac(
+        key, bucket, 3, sample_estimate_packed, residual, options,
+        mask=mask, local_refine_fn=refine, max_error=max_error,
+    )
+
+
 @dataclasses.dataclass
 class AbsolutePoseOptions:
     """reference: estimators/pose.h:47-76 (AbsolutePoseEstimationOptions)."""
@@ -75,55 +121,16 @@ def estimate_absolute_pose(
     thresh_n = camera.cam_from_img_threshold(options.max_error_px)
     uv, _ = camera_models.cam_from_img(model_id, params, xy)
 
-    def sample_estimate(idxs):
-        # idxs: (K, 3)
-        Rs, ts = jax.vmap(p3p)(X[idxs], rays[idxs])  # (K, 4, 3, 3), (K, 4, 3)
-        return Rs.reshape(-1, 3, 4 * 3).reshape(-1, 3, 3), ts.reshape(-1, 3)
-
-    def sample_estimate_packed(idxs):
-        Rs, ts = jax.vmap(p3p)(X[idxs], rays[idxs])
-        M = Rs.reshape(-1, 3, 3)
-        T = ts.reshape(-1, 3)
-        # Pack into (M, 3, 4).
-        return jnp.concatenate([M, T[:, :, None]], axis=-1)
-
-    def residual(models):
-        # models: (M, 3, 4). Project X into each and compare on the
-        # normalized plane (cheirality-aware).
-        R = models[..., :3]
-        t = models[..., 3]
-        Xc = jnp.einsum("mij,nj->mni", R, X) + t[:, None, :]
-        z = Xc[..., 2]
-        behind = z < 1e-8
-        safe_z = jnp.where(behind, 1.0, z)
-        proj = Xc[..., :2] / safe_z[..., None]
-        err = jnp.sum((proj - uv[None]) ** 2, axis=-1)
-        return jnp.where(behind, jnp.inf, err)
-
-    def refine(model, weights):
-        # Weighted EPnP-lite: minimize alg. error via Kabsch on the
-        # back-projected camera points at current depths (cheap LO step).
-        R = model[..., :3]
-        t = model[..., 3]
-        Xc = jnp.einsum("ij,nj->ni", R, X) + t
-        depth = jnp.maximum(Xc[..., 2], 1e-6)
-        ray_full = jnp.concatenate([uv, jnp.ones_like(uv[..., :1])], axis=-1)
-        target = ray_full * depth[..., None]
-        R_new, t_new = kabsch(X, target, weights)
-        return jnp.concatenate([R_new, t_new[:, None]], axis=-1)
-
     opts = RansacOptions(
-        max_error=float(thresh_n),
         min_inlier_ratio=options.min_inlier_ratio,
         confidence=options.confidence,
         min_num_trials=options.min_num_trials,
         max_num_trials=options.max_num_trials,
         batch_size=options.batch_size,
     )
-    mask = rays_valid
-    res = ransac(
-        jax.random.PRNGKey(seed), bucket, 3, sample_estimate_packed, residual,
-        opts, mask=mask, local_refine_fn=refine,
+    res = _p3p_ransac(
+        jax.random.PRNGKey(seed), X, rays, uv, rays_valid,
+        jnp.asarray(float(thresh_n)), opts,
     )
     if not bool(res.success):
         return None, np.zeros(n, dtype=bool), None

@@ -68,8 +68,17 @@ class TwoViewGeometryOptions:
     )
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("options",))
 def _ransac_f(key, x1, x2, mask, options: RansacOptions):
-    """Fundamental-matrix LO-RANSAC with 7pt minimal + 8pt refit."""
+    """Fundamental-matrix LO-RANSAC with 7pt minimal + 8pt refit.
+
+    Module-level jit: stable cache key per (shape, options) so the
+    incremental pipeline's thousands of verification calls reuse one
+    compiled program per shape bucket.
+    """
     n = x1.shape[0]
 
     def sample_estimate(idxs):
@@ -88,8 +97,12 @@ def _ransac_f(key, x1, x2, mask, options: RansacOptions):
     return ransac(key, n, 7, sample_estimate, residual, options, mask, refine)
 
 
-def _ransac_e(key, x1n, x2n, mask, options: RansacOptions):
-    """Essential-matrix LO-RANSAC (normalized coords), 8pt minimal + refit."""
+@_partial(jax.jit, static_argnames=("options",))
+def _ransac_e(key, x1n, x2n, mask, max_error, options: RansacOptions):
+    """Essential-matrix LO-RANSAC (normalized coords), 8pt minimal + refit.
+
+    max_error is traced so per-camera normalized thresholds share one
+    compiled program."""
     n = x1n.shape[0]
 
     def sample_estimate(idxs):
@@ -102,9 +115,11 @@ def _ransac_e(key, x1n, x2n, mask, options: RansacOptions):
     def refine(model, weights):
         return essential_eight_point(x1n, x2n, weights)
 
-    return ransac(key, n, 8, sample_estimate, residual, options, mask, refine)
+    return ransac(key, n, 8, sample_estimate, residual, options, mask, refine,
+                  max_error=max_error)
 
 
+@_partial(jax.jit, static_argnames=("options",))
 def _ransac_h(key, x1, x2, mask, options: RansacOptions):
     n = x1.shape[0]
 
@@ -197,8 +212,9 @@ def estimate_two_view_geometry(
             camera1.cam_from_img_threshold(options.ransac.max_error)
             + camera2.cam_from_img_threshold(options.ransac.max_error)
         )
-        e_opts = dataclasses.replace(options.ransac, max_error=float(thresh_n))
-        res_e = _ransac_e(ke, x1n, x2n, mask, e_opts)
+        res_e = _ransac_e(
+            ke, x1n, x2n, mask, jnp.asarray(float(thresh_n)), options.ransac
+        )
 
     num_f = int(res_f.num_inliers)
     num_h = int(res_h.num_inliers)

@@ -66,6 +66,7 @@ def ransac(
     options: RansacOptions,
     mask: Optional[jnp.ndarray] = None,
     local_refine_fn: Optional[Callable] = None,
+    max_error=None,
 ):
     """Run vectorized (LO-)RANSAC.
 
@@ -86,7 +87,11 @@ def ransac(
     if mask is None:
         mask = jnp.ones(num_data, dtype=bool)
     num_valid = jnp.sum(mask)
-    max_sq = options.max_error**2
+    # max_error may be passed as a traced scalar so per-camera thresholds
+    # don't fragment the jit cache of callers.
+    if max_error is None:
+        max_error = options.max_error
+    max_sq = max_error**2
     K = options.batch_size
 
     def propose_and_score(key):

@@ -308,19 +308,20 @@ def _normal_from_fisheye(uu, vv):
 
 
 def _split_focal_pp(model_id, params):
+    """Indexes the last axis so per-observation parameter batches work."""
     f_idxs = focal_length_idxs(model_id)
     pp_idxs = principal_point_idxs(model_id)
     if len(f_idxs) == 1:
-        fx = fy = params[f_idxs[0]]
+        fx = fy = params[..., f_idxs[0]]
     else:
-        fx, fy = params[f_idxs[0]], params[f_idxs[1]]
-    cx, cy = params[pp_idxs[0]], params[pp_idxs[1]]
+        fx, fy = params[..., f_idxs[0]], params[..., f_idxs[1]]
+    cx, cy = params[..., pp_idxs[0]], params[..., pp_idxs[1]]
     return fx, fy, cx, cy
 
 
 def _extra(model_id, params):
     idxs = extra_params_idxs(model_id)
-    return [params[i] for i in idxs]
+    return [params[..., i] for i in idxs]
 
 
 def _newton_undistort(dist_fn, extra, u0, v0, num_iterations=25):
@@ -381,7 +382,7 @@ def img_from_cam(model_id, params, uvw, check_cheirality=True):
     eps = _eps(dtype)
 
     if mid == CameraModelId.EQUIRECTANGULAR:
-        width, height = params[0], params[1]
+        width, height = params[..., 0], params[..., 1]
         horizontal = jnp.sqrt(u * u + w * w)
         valid = horizontal + jnp.abs(v) >= eps
         theta = jnp.arctan2(u, w)
@@ -392,7 +393,7 @@ def img_from_cam(model_id, params, uvw, check_cheirality=True):
 
     if mid == CameraModelId.EUCM:
         fx, fy, cx, cy = _split_focal_pp(mid, params)
-        alpha, beta = params[4], params[5]
+        alpha, beta = params[..., 4], params[..., 5]
         valid = w >= eps if check_cheirality else jnp.abs(w) >= eps
         rho2 = beta * (u * u + v * v) + w * w
         valid = valid & (rho2 >= 0)
@@ -448,7 +449,7 @@ def cam_from_img(model_id, params, xy):
     eps = _eps(dtype)
 
     if mid == CameraModelId.EQUIRECTANGULAR:
-        width, height = params[0], params[1]
+        width, height = params[..., 0], params[..., 1]
         theta = 2 * jnp.pi * (x / width - 0.5)
         phi = jnp.pi * (0.5 - y / height)
         cos_phi = jnp.cos(phi)
@@ -461,7 +462,7 @@ def cam_from_img(model_id, params, xy):
 
     if mid == CameraModelId.EUCM:
         fx, fy, cx, cy = _split_focal_pp(mid, params)
-        alpha, beta = params[4], params[5]
+        alpha, beta = params[..., 4], params[..., 5]
         u0 = (x - cx) / fx
         v0 = (y - cy) / fy
         r2 = u0 * u0 + v0 * v0
@@ -587,7 +588,7 @@ def has_bogus_params(
         if abs(params[i]) > max_extra_param:
             return True
     if mid == CameraModelId.EUCM:
-        alpha, beta = params[4], params[5]
+        alpha, beta = params[..., 4], params[..., 5]
         if alpha < 0 or alpha > 1 or beta <= 0:
             return True
     return False

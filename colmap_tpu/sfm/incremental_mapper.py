@@ -431,57 +431,15 @@ class IncrementalMapper:
         """Remove 3D points with large error / small angle / negative depth.
 
         reference behavior: ObservationManager::FilterPoints3D
-        (observation_manager.h:50-200).
+        (observation_manager.h:50-200); vectorized in sfm/filtering.py.
         """
-        recon = self.recon
-        num_filtered = 0
-        for p3d_id in list(recon.points3D.keys()):
-            point = recon.points3D[p3d_id]
-            # Reprojection errors + depths.
-            drop_obs = []
-            for el in point.track:
-                img = recon.images[el.image_id]
-                cam = recon.cameras[img.camera_id]
-                pose = recon.cam_from_world(el.image_id)
-                Xc = pose.apply(point.xyz[None])[0]
-                if Xc[2] <= 0:
-                    drop_obs.append(el)
-                    continue
-                err = self.triangulator._reproj_error_px(
-                    cam, pose, point.xyz, img.points2D_xy[el.point2D_idx]
-                )
-                if err > options.filter_max_reproj_error:
-                    drop_obs.append(el)
-            for el in drop_obs:
-                if p3d_id in recon.points3D:
-                    recon.delete_observation(el.image_id, el.point2D_idx)
-                    num_filtered += 1
-            if p3d_id not in recon.points3D:
-                continue
-            point = recon.points3D[p3d_id]
-            if len(point.track) < 2:
-                num_filtered += len(point.track)
-                recon.delete_point3D(p3d_id)
-                continue
-            # Max pairwise triangulation angle.
-            centers = [
-                recon.cam_from_world(el.image_id).projection_center()
-                for el in point.track
-            ]
-            max_angle = 0.0
-            for i in range(len(centers)):
-                for j in range(i + 1, len(centers)):
-                    ang = float(
-                        triangulation_angle(
-                            jnp.asarray(centers[i]), jnp.asarray(centers[j]),
-                            jnp.asarray(point.xyz),
-                        )
-                    )
-                    max_angle = max(max_angle, ang)
-            if np.rad2deg(max_angle) < options.filter_min_tri_angle_deg:
-                num_filtered += len(point.track)
-                recon.delete_point3D(p3d_id)
-        return num_filtered
+        from colmap_tpu.sfm.filtering import filter_points3D
+
+        return filter_points3D(
+            self.recon,
+            max_reproj_error=options.filter_max_reproj_error,
+            min_tri_angle_deg=options.filter_min_tri_angle_deg,
+        )
 
     def filter_frames(self, options: IncrementalMapperOptions) -> List[int]:
         """Deregister frames with too few observations or bogus params.
