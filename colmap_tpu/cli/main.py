@@ -1,0 +1,434 @@
+"""Command-line interface.
+
+reference behavior: src/colmap/exe/colmap.cc:92-159 — the same subcommand
+surface (feature_extractor, *_matcher, mapper, global_mapper,
+bundle_adjuster, point_triangulator, model_* tools, image_undistorter,
+patch_match_stereo, stereo_fusion, database_creator, ...) mapped onto the
+TPU-native library. Flags use the reference's dotted-path style where it
+matters for drop-in compatibility (e.g. --database_path, --image_path,
+--output_path).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def _cmd_database_creator(args):
+    from colmap_tpu.scene.database import Database
+
+    Database(args.database_path).close()
+    print(f"Created database at {args.database_path}")
+
+
+def _cmd_feature_extractor(args):
+    from colmap_tpu.controllers.feature_pipeline import (
+        ImageReaderOptions,
+        run_feature_extraction,
+    )
+    from colmap_tpu.feature.sift import SiftOptions
+    from colmap_tpu.scene.database import Database
+
+    db = Database(args.database_path)
+    reader = ImageReaderOptions(
+        camera_model=args.camera_model,
+        single_camera=not args.per_image_camera,
+        camera_params=args.camera_params,
+    )
+    sift = SiftOptions(max_num_features=args.max_num_features)
+    ids = run_feature_extraction(db, args.image_path, reader_options=reader,
+                                 sift_options=sift)
+    print(f"Extracted features for {len(ids)} images")
+    db.close()
+
+
+def _cmd_exhaustive_matcher(args):
+    from colmap_tpu.controllers.feature_pipeline import run_exhaustive_matching
+    from colmap_tpu.scene.database import Database
+
+    db = Database(args.database_path)
+    n = run_exhaustive_matching(db)
+    print(f"Verified {n} image pairs")
+    db.close()
+
+
+def _cmd_sequential_matcher(args):
+    from colmap_tpu.controllers.feature_pipeline import run_sequential_matching
+    from colmap_tpu.feature.pairing import SequentialPairingOptions
+    from colmap_tpu.scene.database import Database
+
+    db = Database(args.database_path)
+    n = run_sequential_matching(
+        db, pairing=SequentialPairingOptions(overlap=args.overlap)
+    )
+    print(f"Verified {n} image pairs")
+    db.close()
+
+
+def _cmd_matches_importer(args):
+    from colmap_tpu.controllers.feature_pipeline import run_matches_import
+    from colmap_tpu.feature.pairing import imported_pairs
+    from colmap_tpu.scene.database import Database
+
+    db = Database(args.database_path)
+    name_to_id = {name: iid for (iid, name, _) in db.read_images()}
+    pairs = imported_pairs(args.match_list_path, name_to_id)
+    n = run_matches_import(db, pairs)
+    print(f"Verified {n} of {len(pairs)} imported pairs")
+    db.close()
+
+
+def _cmd_mapper(args):
+    from colmap_tpu.scene.database import Database
+    from colmap_tpu.scene.reconstruction_io import write_model
+    from colmap_tpu.sfm.incremental_pipeline import (
+        IncrementalPipeline,
+        IncrementalPipelineOptions,
+    )
+
+    db = Database(args.database_path)
+    options = IncrementalPipelineOptions(verbose=not args.quiet)
+    pipeline = IncrementalPipeline(options, db)
+    models = pipeline.run()
+    os.makedirs(args.output_path, exist_ok=True)
+    for i, recon in enumerate(models):
+        out = os.path.join(args.output_path, str(i))
+        write_model(recon, out, fmt="bin")
+        print(
+            f"Model {i}: {recon.num_reg_frames()} frames, "
+            f"{recon.num_points3D()} points -> {out}"
+        )
+    db.close()
+
+
+def _cmd_global_mapper(args):
+    from colmap_tpu.scene.database import Database
+    from colmap_tpu.scene.reconstruction_io import write_model
+    from colmap_tpu.sfm.global_pipeline import GlobalPipeline, GlobalPipelineOptions
+
+    db = Database(args.database_path)
+    recon = GlobalPipeline(GlobalPipelineOptions(verbose=not args.quiet), db).run()
+    if recon is None:
+        print("Global mapping failed")
+        sys.exit(1)
+    os.makedirs(args.output_path, exist_ok=True)
+    out = os.path.join(args.output_path, "0")
+    write_model(recon, out, fmt="bin")
+    print(f"Model: {recon.num_reg_frames()} frames, {recon.num_points3D()} points -> {out}")
+    db.close()
+
+
+def _cmd_bundle_adjuster(args):
+    from colmap_tpu.estimators import bundle_adjustment as ba
+    from colmap_tpu.estimators.ba_setup import (
+        problem_from_reconstruction,
+        update_reconstruction,
+    )
+    from colmap_tpu.scene.reconstruction_io import read_model, write_model
+
+    recon = read_model(args.input_path)
+    problem, index = problem_from_reconstruction(recon)
+    options = ba.BAOptions(max_iterations=args.max_num_iterations)
+    masks = ba.default_masks(problem, index["model_id"], options)
+    masks = ba.fix_gauge_two_frames(masks, 0, 1)
+    solved, summary = ba.solve(problem, index["model_id"], options, masks)
+    update_reconstruction(recon, solved, index)
+    recon.update_point3D_errors()
+    write_model(recon, args.output_path, fmt="bin")
+    print(
+        f"BA: cost {summary['initial_cost']:.4e} -> {summary['final_cost']:.4e} "
+        f"in {summary['num_iterations']} iterations"
+    )
+
+
+def _cmd_rotation_averager(args):
+    from colmap_tpu.scene.database import Database
+    from colmap_tpu.sfm.global_pipeline import GlobalPipeline, GlobalPipelineOptions
+
+    print("rotation averaging runs as part of global_mapper; see --help")
+    sys.exit(1)
+
+
+def _cmd_point_triangulator(args):
+    from colmap_tpu.scene.database import Database
+    from colmap_tpu.scene.database_cache import DatabaseCache
+    from colmap_tpu.scene.reconstruction_io import read_model, write_model
+    from colmap_tpu.sfm.incremental_mapper import IncrementalMapper, IncrementalMapperOptions
+    from colmap_tpu.sfm.incremental_triangulator import TriangulatorOptions
+
+    db = Database(args.database_path)
+    recon = read_model(args.input_path)
+    cache = DatabaseCache.create(db)
+    mapper = IncrementalMapper(cache)
+    # Keep existing poses; re-triangulate all registered images.
+    mapper.recon = recon
+    from colmap_tpu.sfm.incremental_triangulator import IncrementalTriangulator
+
+    mapper.triangulator = IncrementalTriangulator(cache.correspondence_graph, recon)
+    n = mapper.triangulator.retriangulate(TriangulatorOptions())
+    recon.update_point3D_errors()
+    write_model(recon, args.output_path, fmt="bin")
+    print(f"Triangulated {n} observations")
+    db.close()
+
+
+def _cmd_model_converter(args):
+    from colmap_tpu.scene.reconstruction_io import read_model, write_model
+
+    recon = read_model(args.input_path)
+    if args.output_type in ("BIN", "bin"):
+        write_model(recon, args.output_path, fmt="bin")
+    elif args.output_type in ("TXT", "txt"):
+        write_model(recon, args.output_path, fmt="txt")
+    elif args.output_type in ("PLY", "ply"):
+        from colmap_tpu.utils.ply import write_ply
+
+        pts = np.stack([p.xyz for p in recon.points3D.values()]) if recon.points3D else np.zeros((0, 3))
+        colors = np.stack([p.color for p in recon.points3D.values()]) if recon.points3D else None
+        write_ply(args.output_path, pts, colors=colors)
+    elif args.output_type in ("NVM", "nvm"):
+        from colmap_tpu.scene.exporters import write_nvm
+
+        write_nvm(recon, args.output_path)
+    elif args.output_type in ("Bundler", "bundler"):
+        from colmap_tpu.scene.exporters import write_bundler
+
+        write_bundler(recon, args.output_path)
+    else:
+        print(f"Unknown output type {args.output_type}")
+        sys.exit(1)
+    print(f"Converted model -> {args.output_path}")
+
+
+def _cmd_model_analyzer(args):
+    from colmap_tpu.scene.reconstruction_io import read_model
+
+    recon = read_model(args.path)
+    recon.update_point3D_errors()
+    n_obs = recon.compute_num_observations()
+    print(f"Cameras: {recon.num_cameras()}")
+    print(f"Images: {recon.num_images()}")
+    print(f"Registered frames: {recon.num_reg_frames()}")
+    print(f"Points: {recon.num_points3D()}")
+    print(f"Observations: {n_obs}")
+    print(f"Mean track length: {recon.compute_mean_track_length():.6f}")
+    print(
+        "Mean observations per registered image: "
+        f"{n_obs / max(recon.num_reg_frames(), 1):.6f}"
+    )
+    print(f"Mean reprojection error: {recon.compute_mean_reprojection_error():.6f}px")
+
+
+def _cmd_model_aligner(args):
+    from colmap_tpu.estimators.alignment import align_reconstructions, apply_sim3
+    from colmap_tpu.scene.reconstruction_io import read_model, write_model
+
+    recon = read_model(args.input_path)
+    ref = read_model(args.ref_model_path)
+    sim = align_reconstructions(recon, ref)
+    if sim is None:
+        print("Alignment failed: not enough common images")
+        sys.exit(1)
+    apply_sim3(recon, *sim)
+    write_model(recon, args.output_path, fmt="bin")
+    print(f"Aligned model (scale {sim[0]:.6f}) -> {args.output_path}")
+
+
+def _cmd_model_merger(args):
+    from colmap_tpu.estimators.alignment import align_reconstructions, apply_sim3
+    from colmap_tpu.scene.reconstruction_io import read_model, write_model
+
+    recon1 = read_model(args.input_path1)
+    recon2 = read_model(args.input_path2)
+    sim = align_reconstructions(recon2, recon1)
+    if sim is None:
+        print("Merge failed: models share too few images")
+        sys.exit(1)
+    apply_sim3(recon2, *sim)
+    # Merge entities of recon2 into recon1 (disjoint ids assumed for points).
+    for iid in recon2.reg_image_ids():
+        if iid not in recon1.images or not recon1.is_image_registered(iid):
+            # Bring over frame+image when missing.
+            img2 = recon2.images[iid]
+            if iid not in recon1.images:
+                if img2.camera_id not in recon1.cameras:
+                    recon1.add_camera(recon2.cameras[img2.camera_id])
+                frame2 = recon2.frames[img2.frame_id]
+                if frame2.rig_id not in recon1.rigs:
+                    recon1.add_rig(recon2.rigs[frame2.rig_id])
+                if frame2.frame_id not in recon1.frames:
+                    recon1.add_frame(frame2)
+                recon1.add_image(img2)
+            recon1.register_frame(recon2.images[iid].frame_id)
+    from colmap_tpu.scene.types import TrackElement
+
+    for pid, p in recon2.points3D.items():
+        track = [
+            el for el in p.track
+            if el.image_id in recon1.images
+            and recon1.images[el.image_id].points2D_p3d[el.point2D_idx] == -1
+        ]
+        if len(track) >= 2:
+            recon1.add_point3D(p.xyz, track, color=p.color)
+    write_model(recon1, args.output_path, fmt="bin")
+    print(
+        f"Merged -> {args.output_path}: {recon1.num_reg_frames()} frames, "
+        f"{recon1.num_points3D()} points"
+    )
+
+
+def _cmd_image_undistorter(args):
+    from PIL import Image as PILImage
+
+    from colmap_tpu.image.undistortion import undistort_camera, undistort_image
+    from colmap_tpu.scene.reconstruction_io import read_model, write_model
+
+    recon = read_model(args.input_path)
+    os.makedirs(os.path.join(args.output_path, "images"), exist_ok=True)
+    new_cams = {}
+    for cid, cam in recon.cameras.items():
+        new_cams[cid] = undistort_camera(cam)
+    for iid in recon.reg_image_ids():
+        image = recon.images[iid]
+        src = os.path.join(args.image_path, image.name)
+        if not os.path.exists(src):
+            continue
+        img = np.asarray(PILImage.open(src))
+        out = undistort_image(img, recon.cameras[image.camera_id], new_cams[image.camera_id])
+        dst = os.path.join(args.output_path, "images", image.name)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        PILImage.fromarray(out.astype(np.uint8)).save(dst)
+    for cid in recon.cameras:
+        recon.cameras[cid] = new_cams[cid]
+    write_model(recon, os.path.join(args.output_path, "sparse"), fmt="bin")
+    print(f"Undistorted -> {args.output_path}")
+
+
+def _cmd_patch_match_stereo(args):
+    print(
+        "patch_match_stereo: use colmap_tpu.mvs.patch_match programmatically; "
+        "workspace-driven CLI wiring lands with the dense pipeline."
+    )
+    sys.exit(1)
+
+
+def _cmd_stereo_fusion(args):
+    print(
+        "stereo_fusion: use colmap_tpu.mvs.fusion programmatically; "
+        "workspace-driven CLI wiring lands with the dense pipeline."
+    )
+    sys.exit(1)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="colmap_tpu",
+        description="TPU-native SfM/MVS with COLMAP-compatible data formats",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    c = sub.add_parser("database_creator")
+    c.add_argument("--database_path", required=True)
+    c.set_defaults(fn=_cmd_database_creator)
+
+    c = sub.add_parser("feature_extractor")
+    c.add_argument("--database_path", required=True)
+    c.add_argument("--image_path", required=True)
+    c.add_argument("--camera_model", default="SIMPLE_RADIAL")
+    c.add_argument("--camera_params", default=None)
+    c.add_argument("--per_image_camera", action="store_true")
+    c.add_argument("--max_num_features", type=int, default=8192)
+    c.set_defaults(fn=_cmd_feature_extractor)
+
+    c = sub.add_parser("exhaustive_matcher")
+    c.add_argument("--database_path", required=True)
+    c.set_defaults(fn=_cmd_exhaustive_matcher)
+
+    c = sub.add_parser("sequential_matcher")
+    c.add_argument("--database_path", required=True)
+    c.add_argument("--overlap", type=int, default=10)
+    c.set_defaults(fn=_cmd_sequential_matcher)
+
+    c = sub.add_parser("matches_importer")
+    c.add_argument("--database_path", required=True)
+    c.add_argument("--match_list_path", required=True)
+    c.set_defaults(fn=_cmd_matches_importer)
+
+    c = sub.add_parser("mapper")
+    c.add_argument("--database_path", required=True)
+    c.add_argument("--image_path", default=None)
+    c.add_argument("--output_path", required=True)
+    c.add_argument("--quiet", action="store_true")
+    c.set_defaults(fn=_cmd_mapper)
+
+    c = sub.add_parser("global_mapper")
+    c.add_argument("--database_path", required=True)
+    c.add_argument("--image_path", default=None)
+    c.add_argument("--output_path", required=True)
+    c.add_argument("--quiet", action="store_true")
+    c.set_defaults(fn=_cmd_global_mapper)
+
+    c = sub.add_parser("bundle_adjuster")
+    c.add_argument("--input_path", required=True)
+    c.add_argument("--output_path", required=True)
+    c.add_argument("--max_num_iterations", type=int, default=100)
+    c.set_defaults(fn=_cmd_bundle_adjuster)
+
+    c = sub.add_parser("point_triangulator")
+    c.add_argument("--database_path", required=True)
+    c.add_argument("--input_path", required=True)
+    c.add_argument("--output_path", required=True)
+    c.set_defaults(fn=_cmd_point_triangulator)
+
+    c = sub.add_parser("model_converter")
+    c.add_argument("--input_path", required=True)
+    c.add_argument("--output_path", required=True)
+    c.add_argument("--output_type", required=True)
+    c.set_defaults(fn=_cmd_model_converter)
+
+    c = sub.add_parser("model_analyzer")
+    c.add_argument("--path", required=True)
+    c.set_defaults(fn=_cmd_model_analyzer)
+
+    c = sub.add_parser("model_aligner")
+    c.add_argument("--input_path", required=True)
+    c.add_argument("--ref_model_path", required=True)
+    c.add_argument("--output_path", required=True)
+    c.set_defaults(fn=_cmd_model_aligner)
+
+    c = sub.add_parser("model_merger")
+    c.add_argument("--input_path1", required=True)
+    c.add_argument("--input_path2", required=True)
+    c.add_argument("--output_path", required=True)
+    c.set_defaults(fn=_cmd_model_merger)
+
+    c = sub.add_parser("image_undistorter")
+    c.add_argument("--image_path", required=True)
+    c.add_argument("--input_path", required=True)
+    c.add_argument("--output_path", required=True)
+    c.set_defaults(fn=_cmd_image_undistorter)
+
+    c = sub.add_parser("patch_match_stereo")
+    c.add_argument("--workspace_path", required=True)
+    c.set_defaults(fn=_cmd_patch_match_stereo)
+
+    c = sub.add_parser("stereo_fusion")
+    c.add_argument("--workspace_path", required=True)
+    c.add_argument("--output_path", required=True)
+    c.set_defaults(fn=_cmd_stereo_fusion)
+
+    return p
+
+
+def main(argv=None):
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

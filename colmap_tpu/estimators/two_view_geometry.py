@@ -312,7 +312,10 @@ def _recover_pose(g: TwoViewGeometry, camera1, points1, camera2, points2):
         K1 = jnp.asarray(_calibration_matrix(camera1))
         K2 = jnp.asarray(_calibration_matrix(camera2))
         E = essential_from_fundamental(K2, jnp.asarray(g.F), K1)
-    R, t, points3D, num_valid, ok = pose_from_essential_matrix(E, x1n, x2n)
+    row_mask = jnp.asarray(np.arange(bucket) < n_inl)
+    R, t, points3D, num_valid, ok = pose_from_essential_matrix(
+        E, x1n, x2n, mask=row_mask
+    )
     from colmap_tpu.geometry import rotation as rot
 
     quat = np.asarray(rot.rotmat_to_quat(R))

@@ -90,7 +90,7 @@ def calc_depth(proj, X):
     return z * jnp.linalg.norm(proj[..., 2, :3], axis=-1)
 
 
-def pose_from_essential_matrix(E, x1, x2):
+def pose_from_essential_matrix(E, x1, x2, mask=None):
     """Recover cam2_from_cam1 from E + matched normalized points.
 
     Tests the four (R, t) candidates and picks the one with the most points
@@ -98,9 +98,13 @@ def pose_from_essential_matrix(E, x1, x2):
 
     Args:
         E: (3, 3); x1, x2: (N, 2) normalized points (inliers).
+        mask: optional (N,) validity — padded rows MUST be excluded from the
+            cheirality vote or they can swing the candidate selection.
     Returns:
         (R (3,3), t (3,), points3D (N, 3), num_valid (int array), valid_mask)
     """
+    if mask is None:
+        mask = jnp.ones(x1.shape[:-1], dtype=bool)
     R1, R2, t = decompose_essential_matrix(E)
     eye34 = jnp.concatenate([jnp.eye(3, dtype=E.dtype), jnp.zeros((3, 1), E.dtype)], axis=1)
 
@@ -112,7 +116,7 @@ def pose_from_essential_matrix(E, x1, x2):
         # max depth filter like the reference (kMinDepth..max_depth).
         baseline = jnp.linalg.norm(tt)
         max_depth = 1000.0 * baseline
-        ok = (d1 > 1e-12) & (d1 < max_depth) & (d2 > 1e-12) & (d2 < max_depth)
+        ok = (d1 > 1e-12) & (d1 < max_depth) & (d2 > 1e-12) & (d2 < max_depth) & mask
         return jnp.sum(ok), X, ok
 
     cands = [(R1, t), (R2, t), (R1, -t), (R2, -t)]

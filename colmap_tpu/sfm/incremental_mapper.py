@@ -127,6 +127,22 @@ class IncrementalMapper:
         return None
 
     def _estimate_initial_geometry(self, id1, id2, options):
+        """Direct essential-matrix estimation for the initial pair.
+
+        reference behavior: EstimateInitialTwoViewGeometry
+        (incremental_mapper.cc) estimates E with RANSAC, recovers the pose
+        with cheirality, and checks inliers / triangulation angle / forward
+        motion — without the E-vs-F-vs-H classification used at matching
+        time.
+        """
+        import jax
+
+        from colmap_tpu.estimators.two_view_geometry import _ransac_e
+        from colmap_tpu.geometry.essential import pose_from_essential_matrix
+        from colmap_tpu.geometry.triangulation import triangulation_angle
+        from colmap_tpu.optim.ransac import RansacOptions
+        from colmap_tpu.utils.bucketing import bucket_size, pad_rows
+
         image1 = self.recon.images[id1]
         image2 = self.recon.images[id2]
         cam1 = self.recon.cameras[image1.camera_id]
@@ -134,33 +150,98 @@ class IncrementalMapper:
         matches = self._matches_between(id1, id2)
         if len(matches) < options.init_min_num_inliers:
             return None
-        tv_opts = TwoViewGeometryOptions(compute_relative_pose=True)
-        tv_opts.ransac = dataclasses.replace(
-            tv_opts.ransac, max_error=options.init_max_error
-        )
-        # Initial pair estimation always goes through E (calibrated
-        # assumption with the prior/default focal).
-        cam1_c = dataclasses.replace(cam1, has_prior_focal_length=True)
-        cam2_c = dataclasses.replace(cam2, has_prior_focal_length=True)
-        g = estimate_two_view_geometry(
-            cam1_c, image1.points2D_xy, cam2_c, image2.points2D_xy, matches,
-            tv_opts, seed=options.seed,
-        )
-        from colmap_tpu.scene.types import TwoViewGeometryConfig
 
-        if g.config != int(TwoViewGeometryConfig.CALIBRATED):
+        n_matches = len(matches)
+        bucket = bucket_size(n_matches, 256)
+        x1 = jnp.asarray(
+            pad_rows(image1.points2D_xy[matches[:, 0]], bucket), dtype=jnp.float64
+        )
+        x2 = jnp.asarray(
+            pad_rows(image2.points2D_xy[matches[:, 1]], bucket), dtype=jnp.float64
+        )
+        mask = jnp.asarray(np.arange(bucket) < n_matches)
+        x1n, ok1 = camera_models.cam_from_img(cam1.model_id, jnp.asarray(cam1.params), x1)
+        x2n, ok2 = camera_models.cam_from_img(cam2.model_id, jnp.asarray(cam2.params), x2)
+        mask = mask & ok1 & ok2
+        thresh_n = 0.5 * (
+            cam1.cam_from_img_threshold(options.init_max_error)
+            + cam2.cam_from_img_threshold(options.init_max_error)
+        )
+        ransac_opts = RansacOptions(
+            confidence=0.999, min_num_trials=100, max_num_trials=10000,
+            min_inlier_ratio=0.25, batch_size=128,
+        )
+        from colmap_tpu.estimators.relative_pose import refine_relative_pose
+        from colmap_tpu.geometry import rotation as rot
+        from colmap_tpu.geometry.essential import (
+            cross_product_matrix,
+            sampson_error,
+        )
+
+        # Narrow-FOV two-view geometry admits twisted-pair-like ambiguities
+        # where a wrong pose has full epipolar support but only ~half its
+        # points in front of both cameras. Run RANSAC from a few seeds,
+        # Sampson-refine each candidate, and select by the number of
+        # CHEIRALITY-VALID inliers (the reference's init check, which counts
+        # triangulated points, is the same discriminator).
+        best = None
+        for trial_seed in range(3):
+            res = _ransac_e(
+                jax.random.PRNGKey(options.seed + 7919 * trial_seed),
+                x1n, x2n, mask, jnp.asarray(float(thresh_n)), ransac_opts,
+            )
+            if not bool(res.success):
+                continue
+            R, t, _, _, _ = pose_from_essential_matrix(
+                res.model, x1n, x2n, mask=res.inlier_mask
+            )
+            q0 = rot.rotmat_to_quat(R)
+            weights = res.inlier_mask.astype(x1n.dtype)
+            q_ref, t_ref, _ = refine_relative_pose(q0, t, x1n, x2n, weights)
+            E_ref = cross_product_matrix(t_ref) @ rot.quat_to_rotmat(q_ref)
+            err = sampson_error(E_ref, x1n, x2n)
+            inl = np.asarray((err <= float(thresh_n) ** 2)) & np.asarray(mask)
+            R2, t2, points3D, num_valid, cheir_ok = pose_from_essential_matrix(
+                E_ref, x1n, x2n, mask=jnp.asarray(inl)
+            )
+            score = int(num_valid)
+            if best is None or score > best[0]:
+                best = (score, R2, t2, points3D, np.asarray(cheir_ok), inl)
+        import os as _os
+
+        _dbg = _os.environ.get("COLMAP_TPU_DEBUG_INIT")
+        if best is None:
+            if _dbg:
+                print(f"  init {id1}-{id2}: no RANSAC success")
             return None
-        if len(g.inlier_matches) < options.init_min_num_inliers:
+        score, R2, t2, points3D, cheir_ok, inl = best
+        if _dbg:
+            print(f"  init {id1}-{id2}: cheirality score {score}, inl {inl.sum()}")
+        if score < options.init_min_num_inliers:
             return None
-        if g.cam2_from_cam1 is None:
+
+        quat = np.asarray(rot.rotmat_to_quat(R2))
+        pose21 = Pose(quat, np.asarray(t2))
+        # Median triangulation angle over cheirality-valid inliers.
+        c1 = jnp.zeros(3, dtype=x1n.dtype)
+        c2 = jnp.asarray(pose21.projection_center())
+        angles = np.asarray(triangulation_angle(c1, c2, points3D))
+        sel = cheir_ok & inl
+        if not sel.any():
             return None
-        if np.rad2deg(g.tri_angle) < options.init_min_tri_angle_deg:
+        tri_angle = float(np.median(angles[sel]))
+        if _dbg:
+            print(f"  init {id1}-{id2}: tri angle {np.rad2deg(tri_angle):.2f} deg")
+        if np.rad2deg(tri_angle) < options.init_min_tri_angle_deg:
             return None
-        # Reject forward motion (poorly conditioned): |tz|/|t|.
-        t = g.cam2_from_cam1.t
-        if abs(t[2]) / max(np.linalg.norm(t), 1e-12) > options.init_max_forward_motion:
+        # Reject dominant forward motion (poorly conditioned).
+        tn = pose21.t / max(np.linalg.norm(pose21.t), 1e-12)
+        if _dbg:
+            print(f"  init {id1}-{id2}: forward ratio {abs(tn[2]):.3f}")
+        if abs(tn[2]) > options.init_max_forward_motion:
             return None
-        return (g.cam2_from_cam1, g.inlier_matches)
+        inlier_matches = matches[inl[:n_matches]]
+        return (pose21, inlier_matches)
 
     def _matches_between(self, id1, id2) -> np.ndarray:
         """Inlier matches between two images from the correspondence graph."""

@@ -29,20 +29,25 @@ from colmap_tpu.sfm.incremental_pipeline import (
 from colmap_tpu.utils.types import SensorType
 
 
-def _render_scene(tmp_path, n_images=6, n_points=70, size=480, seed=0):
+def _render_scene(tmp_path, n_images=6, n_points=100, size=480, seed=0):
     """Render synthetic views of a 3D point cloud with per-point patches."""
     rng = np.random.default_rng(seed)
     f = 1.2 * size
     w = h = size
     K = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1.0]])
 
+    # Large angular spread of the point cloud relative to the camera ring
+    # keeps the two-view geometry well conditioned.
     pts = rng.standard_normal((n_points, 3))
     pts /= np.linalg.norm(pts, axis=1, keepdims=True)
-    pts *= rng.uniform(0.6, 1.0, (n_points, 1))
+    pts *= rng.uniform(1.2, 2.0, (n_points, 1))
 
     # Per-point appearance: random 11x11 patch (same in every view).
-    P = 11
-    patches = rng.uniform(0.2, 1.0, (n_points, P, P))
+    P = 13
+    from scipy.ndimage import gaussian_filter
+
+    patches = gaussian_filter(rng.uniform(0.0, 1.0, (n_points, P, P)), (0, 0.7, 0.7))
+    patches = (patches - patches.min()) / (patches.max() - patches.min())
 
     gt = Reconstruction()
     cam = Camera(camera_id=1, model_id=1, width=w, height=h,
@@ -57,27 +62,71 @@ def _render_scene(tmp_path, n_images=6, n_points=70, size=480, seed=0):
     names = []
     for i in range(n_images):
         # Viewpoints on a sphere sector (keep overlap high).
-        theta = 0.35 * (i / max(n_images - 1, 1) - 0.5)
+        theta = 0.5 * (i / max(n_images - 1, 1) - 0.5)
         phi = 0.25 * rng.standard_normal()
         view_dir = np.array(
             [np.sin(theta), np.sin(phi), -np.cos(theta) * np.cos(phi)]
         )
         view_dir /= np.linalg.norm(view_dir)
-        center = -5.0 * view_dir
+        center = -4.0 * view_dir
         quat = _rotation_between(view_dir, np.array([0.0, 0.0, 1.0]))
         pose = Pose(quat, Pose(quat, np.zeros(3)).apply(-center[None])[0])
 
+        # Geometrically consistent rendering: each point carries a small
+        # textured 3D plane (tangent to the sphere), texture-mapped by exact
+        # ray-plane intersection so keypoints correspond to true 3D points
+        # across all views.
         Xc = pose.apply(pts)
         uv = (Xc[:, :2] / Xc[:, 2:]) * f + np.array([w / 2, h / 2])
         img = np.zeros((h, w), dtype=np.float64)
-        visible = []
+        R_cw = pose.rotmat()
+        cam_center = pose.projection_center()
+        patch_world = 0.11  # patch half-size in world units
         for j in range(n_points):
-            x, y = uv[j]
-            if Xc[j, 2] <= 0 or not (P < x < w - P and P < y < h - P):
+            if Xc[j, 2] <= 0:
                 continue
-            ix, iy = int(round(x)), int(round(y))
-            img[iy - P // 2: iy + P // 2 + 1, ix - P // 2: ix + P // 2 + 1] += patches[j]
-            visible.append(j)
+            x, y = uv[j]
+            if not (P < x < w - P * 2 and P < y < h - P * 2):
+                continue
+            n_pl = pts[j] / np.linalg.norm(pts[j])  # outward normal
+            e1 = np.cross(n_pl, [0.0, 0.0, 1.0])
+            if np.linalg.norm(e1) < 1e-6:
+                e1 = np.cross(n_pl, [0.0, 1.0, 0.0])
+            e1 /= np.linalg.norm(e1)
+            e2 = np.cross(n_pl, e1)
+            # Bounding box: project the 4 plane corners.
+            corners = np.stack(
+                [pts[j] + patch_world * (su * e1 + sv * e2)
+                 for su in (-1, 1) for sv in (-1, 1)]
+            )
+            cc = pose.apply(corners)
+            cuv = (cc[:, :2] / cc[:, 2:]) * f + np.array([w / 2, h / 2])
+            x0, y0 = np.floor(cuv.min(axis=0)).astype(int) - 1
+            x1_, y1_ = np.ceil(cuv.max(axis=0)).astype(int) + 1
+            x0, y0 = max(x0, 0), max(y0, 0)
+            x1_, y1_ = min(x1_, w - 1), min(y1_, h - 1)
+            if x1_ <= x0 or y1_ <= y0:
+                continue
+            ys_, xs_ = np.mgrid[y0:y1_, x0:x1_]
+            rays = np.stack(
+                [(xs_ - w / 2) / f, (ys_ - h / 2) / f, np.ones_like(xs_, dtype=float)],
+                axis=-1,
+            )
+            d_world = rays @ R_cw  # Rᵀ applied row-wise
+            denom = d_world @ n_pl
+            tnum = (pts[j] - cam_center) @ n_pl
+            with np.errstate(divide="ignore", invalid="ignore"):
+                tpar = tnum / denom
+            Xw = cam_center + tpar[..., None] * d_world
+            lu = ((Xw - pts[j]) @ e1) / patch_world  # [-1, 1]
+            lv = ((Xw - pts[j]) @ e2) / patch_world
+            inside = (np.abs(lu) < 1) & (np.abs(lv) < 1) & (denom > 1e-9)
+            pu = np.clip((lu + 1) / 2 * (P - 1), 0, P - 1)
+            pv = np.clip((lv + 1) / 2 * (P - 1), 0, P - 1)
+            pui = pu.astype(int)
+            pvi = pv.astype(int)
+            val = patches[j][pvi, pui]
+            img[y0:y1_, x0:x1_] += np.where(inside, val, 0.0)
         img = np.clip(img, 0, 1.5) / 1.5
         name = f"view{i:03d}.png"
         names.append(name)
@@ -123,7 +172,9 @@ def test_full_pipeline_from_images(tmp_path):
     from colmap_tpu.sfm.incremental_mapper import IncrementalMapperOptions
 
     opts = IncrementalPipelineOptions(
-        mapper=IncrementalMapperOptions(init_min_num_inliers=50)
+        mapper=IncrementalMapperOptions(
+            init_min_num_inliers=50, abs_pose_min_num_inliers=15
+        )
     )
     pipeline = IncrementalPipeline(opts, db)
     models = pipeline.run()
