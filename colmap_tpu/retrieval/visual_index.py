@@ -1,0 +1,180 @@
+"""Visual index for image retrieval: k-means vocabulary + TF-IDF inverted
+file with binary-signature re-ranking.
+
+reference behavior: src/colmap/retrieval/visual_index.h:52-120 (faiss-backed
+k-means tree + inverted index with Hamming embedding, TF-IDF scoring,
+Build/Add/Query). TPU-native redesign: a flat vocabulary trained by Lloyd
+k-means where the assignment step is one descriptor·centroidᵀ matmul on the
+MXU (argmin of squared distance) and the update step is a segment-sum —
+a flat codebook at the same effective word count replaces the hierarchical
+tree, which only exists to make CPU assignment cheap. Inverted lists and
+TF-IDF scoring stay on host (tiny). Binary signatures (per-dimension
+median threshold, Hamming distance) provide the reference's
+Hamming-embedding re-ranking.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=("num_words",))
+def _kmeans_step(desc, centroids, num_words: int):
+    """One Lloyd iteration. desc (N, D) f32; centroids (W, D)."""
+    d2 = (
+        jnp.sum(desc**2, axis=1, keepdims=True)
+        - 2.0 * desc @ centroids.T
+        + jnp.sum(centroids**2, axis=1)[None, :]
+    )
+    assign = jnp.argmin(d2, axis=1)
+    sums = jax.ops.segment_sum(desc, assign, num_segments=num_words)
+    counts = jax.ops.segment_sum(jnp.ones(desc.shape[0]), assign, num_segments=num_words)
+    new_centroids = jnp.where(
+        counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), centroids
+    )
+    return new_centroids, assign
+
+
+@jax.jit
+def _assign_words(desc, centroids):
+    d2 = (
+        jnp.sum(desc**2, axis=1, keepdims=True)
+        - 2.0 * desc @ centroids.T
+        + jnp.sum(centroids**2, axis=1)[None, :]
+    )
+    return jnp.argmin(d2, axis=1)
+
+
+def build_vocabulary(
+    descriptors: np.ndarray, num_words: int, num_iterations: int = 20, seed: int = 0
+) -> np.ndarray:
+    """Train a flat k-means vocabulary on (uint8) descriptors."""
+    rng = np.random.default_rng(seed)
+    desc = np.asarray(descriptors, dtype=np.float32)
+    n = len(desc)
+    # k-means++ seeding: avoids cluster starvation of uniform picks.
+    k = min(num_words, n)
+    init = np.empty((k, desc.shape[1]), dtype=np.float32)
+    init[0] = desc[rng.integers(n)]
+    d2 = np.sum((desc - init[0]) ** 2, axis=1)
+    for i in range(1, k):
+        probs = d2 / max(d2.sum(), 1e-12)
+        init[i] = desc[rng.choice(n, p=probs)]
+        d2 = np.minimum(d2, np.sum((desc - init[i]) ** 2, axis=1))
+    if k < num_words:
+        init = np.concatenate(
+            [init, rng.normal(128, 50, (num_words - k, desc.shape[1]))]
+        ).astype(np.float32)
+    centroids = jnp.asarray(init)
+    d = jnp.asarray(desc)
+    for _ in range(num_iterations):
+        centroids, _ = _kmeans_step(d, centroids, num_words)
+    return np.asarray(centroids)
+
+
+@dataclasses.dataclass
+class QueryResult:
+    image_id: int
+    score: float
+
+
+class VisualIndex:
+    """TF-IDF inverted-file index with binary-signature re-ranking."""
+
+    def __init__(self, vocabulary: np.ndarray):
+        self.vocabulary = np.asarray(vocabulary, dtype=np.float32)
+        self.num_words = len(vocabulary)
+        # Per-dimension median of centroid projections for binary signatures.
+        self.signature_thresholds = np.median(self.vocabulary, axis=0)
+        self.inverted: Dict[int, List[Tuple[int, np.ndarray]]] = {}
+        self.image_word_counts: Dict[int, Dict[int, int]] = {}
+        self.num_images = 0
+
+    @staticmethod
+    def create(descriptors: np.ndarray, num_words: int = 1024, **kw) -> "VisualIndex":
+        return VisualIndex(build_vocabulary(descriptors, num_words, **kw))
+
+    def _signatures(self, desc: np.ndarray) -> np.ndarray:
+        """64-bit-ish binary signatures: sign of (desc - threshold) on the
+        first 64 dims (reference: Hamming embedding)."""
+        d = np.asarray(desc, dtype=np.float32)[:, :64]
+        th = self.signature_thresholds[:64]
+        bits = (d > th).astype(np.uint64)
+        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        return (bits * weights).sum(axis=1).astype(np.uint64)
+
+    def add(self, image_id: int, descriptors: np.ndarray):
+        desc = np.asarray(descriptors, dtype=np.float32)
+        if len(desc) == 0:
+            return
+        words = np.asarray(_assign_words(jnp.asarray(desc), jnp.asarray(self.vocabulary)))
+        sigs = self._signatures(desc)
+        counts: Dict[int, int] = {}
+        for w, s in zip(words, sigs):
+            w = int(w)
+            self.inverted.setdefault(w, []).append((image_id, s))
+            counts[w] = counts.get(w, 0) + 1
+        self.image_word_counts[image_id] = counts
+        self.num_images += 1
+
+    def query(
+        self, descriptors: np.ndarray, num_images: int = 10,
+        hamming_threshold: int = 24, exclude_image_id: Optional[int] = None,
+    ) -> List[QueryResult]:
+        """TF-IDF vote with Hamming-filtered matches."""
+        desc = np.asarray(descriptors, dtype=np.float32)
+        if len(desc) == 0 or self.num_images == 0:
+            return []
+        words = np.asarray(_assign_words(jnp.asarray(desc), jnp.asarray(self.vocabulary)))
+        sigs = self._signatures(desc)
+        scores: Dict[int, float] = {}
+        for w, s in zip(words, sigs):
+            w = int(w)
+            postings = self.inverted.get(w, [])
+            if not postings:
+                continue
+            n_img_with_word = len({iid for (iid, _) in postings})
+            idf = np.log(max(self.num_images, 1) / max(n_img_with_word, 1)) + 1e-6
+            for (iid, s2) in postings:
+                if exclude_image_id is not None and iid == exclude_image_id:
+                    continue
+                ham = bin(int(s) ^ int(s2)).count("1")
+                if ham <= hamming_threshold:
+                    scores[iid] = scores.get(iid, 0.0) + idf
+        ranked = sorted(scores.items(), key=lambda kv: -kv[1])[:num_images]
+        return [QueryResult(iid, sc) for (iid, sc) in ranked]
+
+
+def vocab_tree_pairs(
+    descriptors_by_image: Dict[int, np.ndarray],
+    num_words: int = 256,
+    num_neighbors: int = 5,
+    seed: int = 0,
+) -> List[Tuple[int, int]]:
+    """Vocab-tree pair generation (reference: VocabTreePairGenerator,
+    controllers/pairing.h:54-84): index all images, query each for its
+    nearest neighbors."""
+    all_desc = np.concatenate([d for d in descriptors_by_image.values() if len(d)])
+    # Subsample for vocabulary training.
+    rng = np.random.default_rng(seed)
+    sub = all_desc[rng.choice(len(all_desc), min(len(all_desc), 20000), replace=False)]
+    index = VisualIndex.create(sub, num_words=num_words, seed=seed)
+    for iid, desc in descriptors_by_image.items():
+        index.add(iid, desc)
+    pairs = set()
+    from colmap_tpu.utils.types import image_pair_to_pair_id
+
+    out = []
+    for iid, desc in descriptors_by_image.items():
+        for r in index.query(desc, num_neighbors, exclude_image_id=iid):
+            key = image_pair_to_pair_id(iid, r.image_id)
+            if key not in pairs:
+                pairs.add(key)
+                out.append((min(iid, r.image_id), max(iid, r.image_id)))
+    return out

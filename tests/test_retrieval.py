@@ -1,0 +1,80 @@
+"""Retrieval tests: k-means vocabulary, visual index, vocab-tree pairing.
+
+reference test strategy: retrieval/visual_index_test.cc,
+retrieval/inverted_index tests.
+"""
+
+import numpy as np
+
+from colmap_tpu.retrieval.visual_index import (
+    VisualIndex,
+    build_vocabulary,
+    vocab_tree_pairs,
+)
+
+
+def _clustered_descriptors(rng, n_clusters, per_cluster, noise=5.0):
+    centers = rng.uniform(0, 255, (n_clusters, 128))
+    descs = centers[np.repeat(np.arange(n_clusters), per_cluster)]
+    descs = descs + rng.normal(0, noise, descs.shape)
+    return np.clip(descs, 0, 255), centers
+
+
+def test_kmeans_vocabulary():
+    rng = np.random.default_rng(0)
+    descs, centers = _clustered_descriptors(rng, 16, 50)
+    vocab = build_vocabulary(descs, num_words=16, num_iterations=30)
+    # Every true center has a nearby centroid.
+    for c in centers:
+        d = np.linalg.norm(vocab - c, axis=1).min()
+        assert d < 30.0
+
+
+def test_visual_index_retrieves_similar():
+    rng = np.random.default_rng(1)
+    # Each "image" draws descriptors from its own subset of clusters; image
+    # pairs sharing clusters must score higher.
+    n_clusters = 24
+    centers = rng.uniform(0, 255, (n_clusters, 128))
+
+    def make_image(cluster_ids, n=60):
+        picks = rng.choice(cluster_ids, n)
+        return np.clip(centers[picks] + rng.normal(0, 4.0, (n, 128)), 0, 255)
+
+    images = {
+        1: make_image([0, 1, 2, 3]),
+        2: make_image([0, 1, 2, 4]),  # similar to 1
+        3: make_image([10, 11, 12, 13]),
+        4: make_image([10, 11, 14, 15]),  # similar to 3
+        5: make_image([20, 21, 22, 23]),
+    }
+    all_desc = np.concatenate(list(images.values()))
+    index = VisualIndex.create(all_desc, num_words=64, num_iterations=20)
+    for iid, d in images.items():
+        index.add(iid, d)
+    res = index.query(images[1], num_images=2, exclude_image_id=1)
+    assert res[0].image_id == 2
+    res = index.query(images[3], num_images=2, exclude_image_id=3)
+    assert res[0].image_id == 4
+
+
+def test_vocab_tree_pairs():
+    rng = np.random.default_rng(2)
+    centers = rng.uniform(0, 255, (30, 128))
+
+    def make_image(cluster_ids, n=50):
+        picks = rng.choice(cluster_ids, n)
+        return np.clip(centers[picks] + rng.normal(0, 4.0, (n, 128)), 0, 255)
+
+    groups = {
+        1: [0, 1, 2], 2: [0, 1, 3], 3: [1, 2, 3],   # group A
+        4: [10, 11, 12], 5: [10, 11, 13], 6: [11, 12, 13],  # group B
+    }
+    descs = {iid: make_image(cl) for iid, cl in groups.items()}
+    pairs = vocab_tree_pairs(descs, num_words=64, num_neighbors=2)
+    # Pairs should connect within groups, not across.
+    for (a, b) in pairs:
+        same_a = a <= 3 and b <= 3
+        same_b = a >= 4 and b >= 4
+        assert same_a or same_b, f"cross-group pair {(a, b)}"
+    assert len(pairs) >= 4
