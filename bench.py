@@ -50,7 +50,8 @@ def main():
         num_frames=200, num_points=50_000, obs_per_point=6, dtype=jnp.float32,
         pixel_noise=0.5, pose_noise=0.02, point_noise=0.02,
     )
-    options = ba.BAOptions(max_iterations=1, pcg_iterations=20)
+    options = ba.BAOptions(max_iterations=1, pcg_iterations=20,
+                           obs_sorted_by_point=True)
     masks = ba.default_masks(problem, model_id, options)
     masks = ba.fix_gauge_two_frames(masks, 0, 1)
 

@@ -67,6 +67,9 @@ class BAOptions:
     refine_points: bool = True
     refine_poses: bool = True
     refine_rotations: bool = True  # False: stage-1 global BA (positions only)
+    # Set when obs arrays are sorted by obs_point: enables XLA's sorted
+    # segment-sum fast path for the large point-side reductions.
+    obs_sorted_by_point: bool = False
 
 
 class BAMasks(NamedTuple):
@@ -285,14 +288,16 @@ class _SchurOperators(NamedTuple):
 
 
 def _build_schur(problem, Jp, Jc, Jx, lam, options):
+    # NOTE: point-side reductions honor options.obs_sorted_by_point.
     F = problem.quat.shape[0]
     C, P = problem.cam_params.shape
     N = problem.points.shape[0]
 
     Hpp = jax.ops.segment_sum(
-        jnp.einsum("oij,oik->ojk", Jx, Jx), problem.obs_point, num_segments=N
+        (Jx[:, :, :, None] * Jx[:, :, None, :]).sum(1), problem.obs_point, num_segments=N,
+        indices_are_sorted=options.obs_sorted_by_point,
     )
-    diag_pp = jnp.einsum("nii->ni", Hpp)
+    diag_pp = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
     # Levenberg diagonal damping: H + lam * diag(H) (Ceres-style scaling),
     # floored to keep padded/unobserved blocks invertible-safe.
     damp = lam * diag_pp + 1e-12
@@ -300,17 +305,17 @@ def _build_schur(problem, Jp, Jc, Jx, lam, options):
     Hpp_inv = _inv3x3_spd(Hpp_damped)
 
     diag_pose = jax.ops.segment_sum(
-        jnp.einsum("oij,oij->oj", Jp, Jp), problem.obs_frame, num_segments=F
+        (Jp * Jp).sum(1), problem.obs_frame, num_segments=F
     )
     diag_cam = jax.ops.segment_sum(
-        jnp.einsum("oij,oij->oj", Jc, Jc), problem.obs_cam, num_segments=C
+        (Jc * Jc).sum(1), problem.obs_cam, num_segments=C
     )
     return _SchurOperators(
         Jp, Jc, Jx, Hpp_inv, lam * diag_pose, lam * diag_cam
     )
 
 
-def _schur_matvec(problem, ops: _SchurOperators, xp, xc):
+def _schur_matvec(problem, ops: _SchurOperators, xp, xc, sorted_by_point=False):
     """(S + λD) @ x for the reduced camera system.
 
     S = H_cc - H_cp H_pp⁻¹ H_pc, evaluated matrix-free:
@@ -321,28 +326,27 @@ def _schur_matvec(problem, ops: _SchurOperators, xp, xc):
     C = problem.cam_params.shape[0]
     N = problem.points.shape[0]
     # u_o = Jp_o xp_f + Jc_o xc_c  (residual-space product, (O, 2))
-    u = jnp.einsum("oij,oj->oi", ops.Jp, xp[problem.obs_frame]) + jnp.einsum(
-        "oij,oj->oi", ops.Jc, xc[problem.obs_cam]
-    )
+    u = (ops.Jp * xp[problem.obs_frame][:, None, :]).sum(-1) + (ops.Jc * xc[problem.obs_cam][:, None, :]).sum(-1)
     # H_cc x part: scatter Jᵀ u.
     hcc_p = jax.ops.segment_sum(
-        jnp.einsum("oij,oi->oj", ops.Jp, u), problem.obs_frame, num_segments=F
+        (ops.Jp * u[:, :, None]).sum(1), problem.obs_frame, num_segments=F
     )
     hcc_c = jax.ops.segment_sum(
-        jnp.einsum("oij,oi->oj", ops.Jc, u), problem.obs_cam, num_segments=C
+        (ops.Jc * u[:, :, None]).sum(1), problem.obs_cam, num_segments=C
     )
     # H_pc x: per-point 3-vector w_n = Σ_o Jx_oᵀ u_o.
     w = jax.ops.segment_sum(
-        jnp.einsum("oij,oi->oj", ops.Jx, u), problem.obs_point, num_segments=N
+        (ops.Jx * u[:, :, None]).sum(1), problem.obs_point, num_segments=N,
+        indices_are_sorted=sorted_by_point,
     )
-    y = jnp.einsum("nij,nj->ni", ops.Hpp_inv, w)
+    y = (ops.Hpp_inv * w[:, None, :]).sum(-1)
     # H_cp y: v_o = Jx_o y_n; scatter Jpᵀ v, Jcᵀ v.
-    v = jnp.einsum("oij,oj->oi", ops.Jx, y[problem.obs_point])
+    v = (ops.Jx * y[problem.obs_point][:, None, :]).sum(-1)
     hcp_p = jax.ops.segment_sum(
-        jnp.einsum("oij,oi->oj", ops.Jp, v), problem.obs_frame, num_segments=F
+        (ops.Jp * v[:, :, None]).sum(1), problem.obs_frame, num_segments=F
     )
     hcp_c = jax.ops.segment_sum(
-        jnp.einsum("oij,oi->oj", ops.Jc, v), problem.obs_cam, num_segments=C
+        (ops.Jc * v[:, :, None]).sum(1), problem.obs_cam, num_segments=C
     )
     out_p = hcc_p - hcp_p + ops.lam_diag_pose * xp
     out_c = hcc_c - hcp_c + ops.lam_diag_cam * xc
@@ -355,10 +359,10 @@ def _pcg(problem, ops, bp, bc, options):
     C = problem.cam_params.shape[0]
     # Jacobi preconditioner from H_cc diagonal + damping.
     diag_p = jax.ops.segment_sum(
-        jnp.einsum("oij,oij->oj", ops.Jp, ops.Jp), problem.obs_frame, num_segments=F
+        (ops.Jp * ops.Jp).sum(1), problem.obs_frame, num_segments=F
     ) + ops.lam_diag_pose
     diag_c = jax.ops.segment_sum(
-        jnp.einsum("oij,oij->oj", ops.Jc, ops.Jc), problem.obs_cam, num_segments=C
+        (ops.Jc * ops.Jc).sum(1), problem.obs_cam, num_segments=C
     ) + ops.lam_diag_cam
     Mp = jnp.where(diag_p > 1e-12, 1.0 / diag_p, 0.0)
     Mc = jnp.where(diag_c > 1e-12, 1.0 / diag_c, 0.0)
@@ -376,7 +380,7 @@ def _pcg(problem, ops, bp, bc, options):
 
     def body(i, state):
         xp, xc, rp, rc, pp, pc, rz = state
-        Ap_p, Ap_c = _schur_matvec(problem, ops, pp, pc)
+        Ap_p, Ap_c = _schur_matvec(problem, ops, pp, pc, options.obs_sorted_by_point)
         pAp = dot(pp, pc, Ap_p, Ap_c)
         alpha = jnp.where(jnp.abs(pAp) > 1e-30, rz / pAp, 0.0)
         xp = xp + alpha * pp
@@ -425,36 +429,36 @@ def lm_step(problem: BAProblem, model_id: int, options: BAOptions,
     N = problem.points.shape[0]
     # Gradient blocks g = -Jᵀ r.
     gp = -jax.ops.segment_sum(
-        jnp.einsum("oij,oi->oj", Jp, r), problem.obs_frame, num_segments=F
+        (Jp * r[:, :, None]).sum(1), problem.obs_frame, num_segments=F
     )
     gc = -jax.ops.segment_sum(
-        jnp.einsum("oij,oi->oj", Jc, r), problem.obs_cam, num_segments=C
+        (Jc * r[:, :, None]).sum(1), problem.obs_cam, num_segments=C
     )
     gx = -jax.ops.segment_sum(
-        jnp.einsum("oij,oi->oj", Jx, r), problem.obs_point, num_segments=N
+        (Jx * r[:, :, None]).sum(1), problem.obs_point, num_segments=N,
+        indices_are_sorted=options.obs_sorted_by_point,
     )
 
     ops = _build_schur(problem, Jp, Jc, Jx, lam, options)
     # Reduced RHS: b = g_c - H_cp H_pp⁻¹ g_p.
-    y = jnp.einsum("nij,nj->ni", ops.Hpp_inv, gx)
-    v = jnp.einsum("oij,oj->oi", Jx, y[problem.obs_point])
+    y = (ops.Hpp_inv * gx[:, None, :]).sum(-1)
+    v = (Jx * y[problem.obs_point][:, None, :]).sum(-1)
     bp = gp - jax.ops.segment_sum(
-        jnp.einsum("oij,oi->oj", Jp, v), problem.obs_frame, num_segments=F
+        (Jp * v[:, :, None]).sum(1), problem.obs_frame, num_segments=F
     )
     bc = gc - jax.ops.segment_sum(
-        jnp.einsum("oij,oi->oj", Jc, v), problem.obs_cam, num_segments=C
+        (Jc * v[:, :, None]).sum(1), problem.obs_cam, num_segments=C
     )
 
     dp, dc = _pcg(problem, ops, bp, bc, options)
 
     # Back-substitute point updates: dx = H_pp⁻¹ (g_x - H_pc dcam).
-    u = jnp.einsum("oij,oj->oi", Jp, dp[problem.obs_frame]) + jnp.einsum(
-        "oij,oj->oi", Jc, dc[problem.obs_cam]
-    )
+    u = (Jp * dp[problem.obs_frame][:, None, :]).sum(-1) + (Jc * dc[problem.obs_cam][:, None, :]).sum(-1)
     w = jax.ops.segment_sum(
-        jnp.einsum("oij,oi->oj", Jx, u), problem.obs_point, num_segments=N
+        (Jx * u[:, :, None]).sum(1), problem.obs_point, num_segments=N,
+        indices_are_sorted=options.obs_sorted_by_point,
     )
-    dx = jnp.einsum("nij,nj->ni", ops.Hpp_inv, gx - w)
+    dx = (ops.Hpp_inv * (gx - w)[:, None, :]).sum(-1)
 
     new_problem = _apply_update(problem, dp, dc, dx)
     new_cost = compute_cost(new_problem, model_id, options)
@@ -462,13 +466,14 @@ def lm_step(problem: BAProblem, model_id: int, options: BAOptions,
     # Gain ratio ρ = actual reduction / model-predicted reduction, where
     # pred = 0.5 (δᵀ b + λ δᵀ D δ) with b = -Jᵀr and D = diag(JᵀJ).
     diag_pose = jax.ops.segment_sum(
-        jnp.einsum("oij,oij->oj", Jp, Jp), problem.obs_frame, num_segments=F
+        (Jp * Jp).sum(1), problem.obs_frame, num_segments=F
     )
     diag_cam = jax.ops.segment_sum(
-        jnp.einsum("oij,oij->oj", Jc, Jc), problem.obs_cam, num_segments=C
+        (Jc * Jc).sum(1), problem.obs_cam, num_segments=C
     )
     diag_pt = jax.ops.segment_sum(
-        jnp.einsum("oij,oij->oj", Jx, Jx), problem.obs_point, num_segments=N
+        (Jx * Jx).sum(1), problem.obs_point, num_segments=N,
+        indices_are_sorted=options.obs_sorted_by_point,
     )
     pred = 0.5 * (
         jnp.sum(dp * gp) + jnp.sum(dc * gc) + jnp.sum(dx * gx)

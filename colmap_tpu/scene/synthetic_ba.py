@@ -65,6 +65,8 @@ def synthetic_ba_problem(
         params = camera_models.initialize_params(model_id, 1280.0, 1024, 768)[None]
 
     # Observations: each point seen by obs_per_point random frames.
+    # Sorted by point id (repeat is already sorted) -> sorted segment-sum
+    # fast path in the solver.
     obs_point = np.repeat(np.arange(num_points), obs_per_point)
     obs_frame = rng.integers(0, num_frames, num_points * obs_per_point)
     obs_cam = np.zeros_like(obs_frame)
