@@ -79,3 +79,49 @@ def compare_reconstructions(
         "max_rotation_error_deg": float(np.max(rot_errors)) if rot_errors else np.inf,
         "max_center_error": float(np.max(center_errors)) if center_errors else np.inf,
     }
+
+
+def align_reconstruction_to_pose_priors(
+    recon: Reconstruction,
+    prior_positions: Dict[int, np.ndarray],
+    robust_max_error: float = 0.0,
+    seed: int = 0,
+):
+    """Sim3-align a reconstruction to per-image prior positions (e.g. GPS).
+
+    reference behavior: AlignReconstructionToPosePriors (alignment.h:42-86)
+    — robust (RANSAC-over-triplets) Umeyama between projection centers and
+    prior positions when robust_max_error > 0, plain weighted Umeyama
+    otherwise. Transforms the reconstruction in place; returns the Sim3
+    (scale, quat, t) or None.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    common = [i for i in recon.reg_image_ids() if i in prior_positions]
+    if len(common) < 3:
+        return None
+    src = np.stack([recon.cam_from_world(i).projection_center() for i in common])
+    dst = np.stack([np.asarray(prior_positions[i], dtype=np.float64) for i in common])
+
+    from colmap_tpu.geometry import rotation as rot
+
+    if robust_max_error > 0 and len(common) >= 4:
+        rng = np.random.default_rng(seed)
+        best = None
+        for _ in range(256):
+            idx = rng.choice(len(common), 3, replace=False)
+            s, R, t = umeyama(jnp.asarray(src[idx]), jnp.asarray(dst[idx]))
+            pred = float(s) * src @ np.asarray(R).T + np.asarray(t)
+            inl = np.linalg.norm(pred - dst, axis=1) <= robust_max_error
+            if best is None or inl.sum() > best[0]:
+                best = (inl.sum(), inl)
+        if best is None or best[0] < 3:
+            return None
+        inl = best[1]
+        s, R, t = umeyama(jnp.asarray(src[inl]), jnp.asarray(dst[inl]))
+    else:
+        s, R, t = umeyama(jnp.asarray(src), jnp.asarray(dst))
+    quat = np.asarray(rot.rotmat_to_quat(R))
+    recon.transform(float(s), quat, np.asarray(t))
+    return (float(s), quat, np.asarray(t))
