@@ -108,6 +108,9 @@ class MatchingPipelineOptions:
         default_factory=TwoViewGeometryOptions
     )
     min_num_inliers: int = 15
+    # Re-match with the verified epipolar geometry as a constraint
+    # (reference: guided matching, controllers/feature_matching_utils.h:133).
+    guided_matching: bool = False
 
 
 def _match_and_verify_pairs(
@@ -143,6 +146,20 @@ def _match_and_verify_pairs(
             cam1, get_kp(id1)[:, :2], cam2, get_kp(id2)[:, :2], matches,
             options.verification,
         )
+        if options.guided_matching and g.F is not None and len(g.inlier_matches) > 0:
+            from colmap_tpu.feature.matcher import match_guided
+
+            guided = match_guided(
+                d1, d2, get_kp(id1)[:, :2], get_kp(id2)[:, :2], g.F,
+                options.matching,
+            )
+            if len(guided) > len(g.inlier_matches):
+                g2 = estimate_two_view_geometry(
+                    cam1, get_kp(id1)[:, :2], cam2, get_kp(id2)[:, :2],
+                    guided, options.verification,
+                )
+                if len(g2.inlier_matches) > len(g.inlier_matches):
+                    g = g2
         if len(g.inlier_matches) >= options.min_num_inliers:
             database.write_two_view_geometry(id1, id2, g)
             n_verified += 1

@@ -339,11 +339,16 @@ class IncrementalMapper:
         return [iid for (_, iid) in scores]
 
     def _count_visible_points(self, image_id) -> int:
+        """Visibility-pyramid score of a candidate image.
+
+        reference behavior: FindNextImages MIN_UNCERTAINTY ranking via
+        VisibilityPyramid (scene/visibility_pyramid.*): points2D with
+        triangulated correspondences vote into multi-resolution grids; a
+        well-spread set of visible points scores higher than a clustered
+        one of the same size.
+        """
         graph = self.cache.correspondence_graph
         offsets, data_img, data_idx = graph.correspondence_arrays(image_id)
-        count = 0
-        # Vectorized: for each correspondence row check if target is
-        # triangulated.
         reg_ids = set(self.recon.reg_image_ids())
         pt_idx = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
         seen_pts = set()
@@ -355,7 +360,19 @@ class IncrementalMapper:
             tri = other.points2D_p3d[data_idx[sel]] != INVALID_POINT3D
             for p in pt_idx[sel][tri]:
                 seen_pts.add(int(p))
-        return len(seen_pts)
+        if not seen_pts:
+            return 0
+        image = self.recon.images[image_id]
+        camera = self.recon.cameras[image.camera_id]
+        xy = image.points2D_xy[sorted(seen_pts)]
+        score = 0
+        for level in range(1, 7):
+            grid = 1 << level
+            cx = np.clip((xy[:, 0] / max(camera.width, 1) * grid).astype(int), 0, grid - 1)
+            cy = np.clip((xy[:, 1] / max(camera.height, 1) * grid).astype(int), 0, grid - 1)
+            cells = set(zip(cx.tolist(), cy.tolist()))
+            score += len(cells) * (1 << level)
+        return score
 
     # ------------------------------------------------------------------
     def register_next_image(self, image_id: int, options: IncrementalMapperOptions) -> bool:

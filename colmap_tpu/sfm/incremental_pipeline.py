@@ -36,6 +36,11 @@ class IncrementalPipelineOptions:
     ba_local_max_refinements: int = 2
     ba_global_max_refinements: int = 5
     init_num_trials: int = 200
+    # Periodic snapshots + wall-clock budget
+    # (reference: incremental_pipeline.cc:106-120, incremental_pipeline.h:192).
+    snapshot_path: str = ""
+    snapshot_frames_freq: int = 0
+    max_runtime_minutes: float = -1.0
     mapper: IncrementalMapperOptions = dataclasses.field(
         default_factory=IncrementalMapperOptions
     )
@@ -118,7 +123,17 @@ class IncrementalPipeline:
         last_global_frames = 2
         last_global_points = recon.num_points3D()
 
+        import time as _time
+
+        start_time = _time.time()
+        last_snapshot_frames = 0
         while True:
+            if (
+                opts.max_runtime_minutes > 0
+                and (_time.time() - start_time) / 60.0 > opts.max_runtime_minutes
+            ):
+                self._log("Max runtime reached")
+                break
             next_images = mapper.find_next_images(opts.mapper)
             if not next_images:
                 break
@@ -141,6 +156,23 @@ class IncrementalPipeline:
                         self._iterative_global_refinement(mapper)
                         last_global_frames = recon.num_reg_frames()
                         last_global_points = recon.num_points3D()
+                    if (
+                        opts.snapshot_frames_freq > 0
+                        and opts.snapshot_path
+                        and recon.num_reg_frames()
+                        >= last_snapshot_frames + opts.snapshot_frames_freq
+                    ):
+                        import os as _os
+
+                        from colmap_tpu.scene.reconstruction_io import write_model
+
+                        snap = _os.path.join(
+                            opts.snapshot_path,
+                            f"snapshot_{recon.num_reg_frames():06d}",
+                        )
+                        write_model(recon, snap, fmt="bin")
+                        last_snapshot_frames = recon.num_reg_frames()
+                        self._log(f"Snapshot -> {snap}")
                     break  # re-rank after each registration
             if not registered_any:
                 break
