@@ -309,19 +309,33 @@ def _cmd_image_undistorter(args):
 
 
 def _cmd_patch_match_stereo(args):
-    print(
-        "patch_match_stereo: use colmap_tpu.mvs.patch_match programmatically; "
-        "workspace-driven CLI wiring lands with the dense pipeline."
-    )
-    sys.exit(1)
+    from PIL import Image as PILImage
+
+    from colmap_tpu.mvs.workspace import run_patch_match_workspace
+    from colmap_tpu.scene.reconstruction_io import read_model
+
+    ws = args.workspace_path
+    recon = read_model(os.path.join(ws, "sparse"))
+    images = {}
+    for iid in recon.reg_image_ids():
+        name = recon.images[iid].name
+        p = os.path.join(ws, "images", name)
+        if os.path.exists(p):
+            images[iid] = (
+                np.asarray(PILImage.open(p).convert("L"), dtype=np.float32) / 255.0
+            )
+    problems = run_patch_match_workspace(recon, images, ws)
+    print(f"PatchMatch: processed {len(problems)} reference images")
 
 
 def _cmd_stereo_fusion(args):
-    print(
-        "stereo_fusion: use colmap_tpu.mvs.fusion programmatically; "
-        "workspace-driven CLI wiring lands with the dense pipeline."
-    )
-    sys.exit(1)
+    from colmap_tpu.mvs.workspace import run_fusion_workspace
+    from colmap_tpu.scene.reconstruction_io import read_model
+
+    ws = args.workspace_path
+    recon = read_model(os.path.join(ws, "sparse"))
+    pts, normals, vis = run_fusion_workspace(recon, ws, args.output_path)
+    print(f"Fused {len(pts)} points -> {args.output_path}")
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -102,8 +102,8 @@ def fuse_depth_maps(
                 v = p[..., 1] / p[..., 2]
             Hj, Wj = fj.depth.shape
             inb = (z > 0) & (u >= 0) & (u < Wj - 1) & (v >= 0) & (v < Hj - 1) & valid
-            ui = np.clip(np.round(np.nan_to_num(u)).astype(np.int64), 0, Wj - 1)
-            vi = np.clip(np.round(np.nan_to_num(v)).astype(np.int64), 0, Hj - 1)
+            ui = np.clip(np.round(np.nan_to_num(u, posinf=0.0, neginf=0.0)), 0, Wj - 1).astype(np.int64)
+            vi = np.clip(np.round(np.nan_to_num(v, posinf=0.0, neginf=0.0)), 0, Hj - 1).astype(np.int64)
             dj = fj.depth[vi, ui]
             ok = inb & (dj > 0)
             # Relative depth agreement.

@@ -1,0 +1,194 @@
+"""Dense-reconstruction workspace: problem setup and batch driving.
+
+reference behavior: src/colmap/mvs/workspace.h:46-136 and
+mvs/patch_match.{h,cc} — the undistorted workspace layout
+(images/ + sparse/ + stereo/{depth_maps,normal_maps}), per-reference-image
+source-view selection from shared sparse points, depth ranges from the
+sparse model, and the photometric PatchMatch pass over all problems
+(the reference round-robins one thread per GPU; here the problems stream
+through one batched device program per image).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from colmap_tpu.mvs.depth_map import write_map
+from colmap_tpu.mvs.patch_match import (
+    PatchMatchOptions,
+    PatchMatchProblem,
+    patch_match,
+)
+from colmap_tpu.scene.reconstruction import Reconstruction
+from colmap_tpu.sensor import models as camera_models
+
+
+@dataclasses.dataclass
+class PatchMatchProblemSpec:
+    ref_image_id: int
+    src_image_ids: List[int]
+    depth_min: float
+    depth_max: float
+
+
+def select_patch_match_problems(
+    recon: Reconstruction, max_num_src_images: int = 5
+) -> List[PatchMatchProblemSpec]:
+    """Per-reference-image source selection + depth ranges.
+
+    reference behavior: PatchMatchController::ReadProblems (__auto__ mode:
+    rank source images by number of shared sparse points,
+    mvs/patch_match.cc:239); depth range = robust min/max of the sparse
+    depths (with margins).
+    """
+    from colmap_tpu.scene.types import INVALID_POINT3D
+
+    problems = []
+    for ref_id in recon.reg_image_ids():
+        ref_img = recon.images[ref_id]
+        shared: Dict[int, int] = {}
+        depths = []
+        pose = recon.cam_from_world(ref_id)
+        for pid in ref_img.points2D_p3d:
+            if pid == INVALID_POINT3D:
+                continue
+            point = recon.points3D[int(pid)]
+            depths.append(float(pose.apply(point.xyz[None])[0, 2]))
+            for el in point.track:
+                if el.image_id != ref_id:
+                    shared[el.image_id] = shared.get(el.image_id, 0) + 1
+        if len(depths) < 5 or not shared:
+            continue
+        srcs = sorted(shared, key=shared.get, reverse=True)[:max_num_src_images]
+        d = np.array(depths)
+        lo, hi = np.percentile(d, [1, 99])
+        problems.append(
+            PatchMatchProblemSpec(
+                ref_image_id=ref_id,
+                src_image_ids=srcs,
+                depth_min=float(max(lo * 0.8, 1e-3)),
+                depth_max=float(hi * 1.2),
+            )
+        )
+    return problems
+
+
+def _pinhole_K(camera) -> np.ndarray:
+    f_idxs = camera_models.focal_length_idxs(camera.model_id)
+    pp = camera_models.principal_point_idxs(camera.model_id)
+    fx = camera.params[f_idxs[0]]
+    fy = camera.params[f_idxs[1]] if len(f_idxs) > 1 else fx
+    return np.array(
+        [[fx, 0, camera.params[pp[0]]], [0, fy, camera.params[pp[1]]], [0, 0, 1.0]]
+    )
+
+
+def run_patch_match_workspace(
+    recon: Reconstruction,
+    images: Dict[int, np.ndarray],
+    output_dir: str,
+    options: Optional[PatchMatchOptions] = None,
+    max_num_src_images: int = 5,
+    problems: Optional[List[PatchMatchProblemSpec]] = None,
+) -> List[PatchMatchProblemSpec]:
+    """Run photometric PatchMatch for every reference image and write
+    COLMAP-format depth/normal maps under output_dir/stereo/.
+
+    images: {image_id: (H, W) grayscale float [0,1]} — undistorted
+    (PINHOLE) images matching the reconstruction's cameras.
+    """
+    import jax.numpy as jnp
+
+    os.makedirs(os.path.join(output_dir, "stereo", "depth_maps"), exist_ok=True)
+    os.makedirs(os.path.join(output_dir, "stereo", "normal_maps"), exist_ok=True)
+    if problems is None:
+        problems = select_patch_match_problems(recon, max_num_src_images)
+    for spec in problems:
+        ref_img = recon.images[spec.ref_image_id]
+        ref_cam = recon.cameras[ref_img.camera_id]
+        ref_pose = recon.cam_from_world(spec.ref_image_id)
+        K_ref = _pinhole_K(ref_cam)
+        srcs, K_srcs, R_rels, t_rels = [], [], [], []
+        for sid in spec.src_image_ids:
+            if sid not in images:
+                continue
+            s_img = recon.images[sid]
+            s_cam = recon.cameras[s_img.camera_id]
+            s_pose = recon.cam_from_world(sid)
+            rel = s_pose.compose(ref_pose.inverse())
+            srcs.append(images[sid])
+            K_srcs.append(_pinhole_K(s_cam))
+            R_rels.append(rel.rotmat())
+            t_rels.append(rel.t)
+        if not srcs:
+            continue
+        problem = PatchMatchProblem(
+            ref_image=jnp.asarray(images[spec.ref_image_id], dtype=jnp.float32),
+            src_images=jnp.asarray(np.stack(srcs), dtype=jnp.float32),
+            K_ref=jnp.asarray(K_ref, dtype=jnp.float32),
+            K_src=jnp.asarray(np.stack(K_srcs), dtype=jnp.float32),
+            R_rel=jnp.asarray(np.stack(R_rels), dtype=jnp.float32),
+            t_rel=jnp.asarray(np.stack(t_rels), dtype=jnp.float32),
+        )
+        opts = options or PatchMatchOptions()
+        opts = dataclasses.replace(
+            opts, depth_min=spec.depth_min, depth_max=spec.depth_max
+        )
+        depth, normal, cost = patch_match(problem, opts)
+        # Photometric filtering (reference: min_ncc).
+        ncc = 1.0 - cost
+        depth = np.where(ncc >= opts.filter_min_ncc, depth, 0.0)
+        name = ref_img.name
+        write_map(
+            os.path.join(output_dir, "stereo", "depth_maps",
+                         f"{name}.photometric.bin"),
+            depth,
+        )
+        write_map(
+            os.path.join(output_dir, "stereo", "normal_maps",
+                         f"{name}.photometric.bin"),
+            normal,
+        )
+    return problems
+
+
+def run_fusion_workspace(
+    recon: Reconstruction,
+    workspace_dir: str,
+    output_path: str,
+    fusion_options=None,
+):
+    """Fuse the workspace depth maps into a point cloud PLY.
+
+    reference behavior: StereoFusion over the workspace (mvs/fusion.cc) +
+    fused.ply output.
+    """
+    from colmap_tpu.mvs.depth_map import read_map
+    from colmap_tpu.mvs.fusion import FusionImage, FusionOptions, fuse_depth_maps
+    from colmap_tpu.utils.ply import write_ply
+
+    images = []
+    for iid in recon.reg_image_ids():
+        img = recon.images[iid]
+        dpath = os.path.join(
+            workspace_dir, "stereo", "depth_maps", f"{img.name}.photometric.bin"
+        )
+        npath = os.path.join(
+            workspace_dir, "stereo", "normal_maps", f"{img.name}.photometric.bin"
+        )
+        if not (os.path.exists(dpath) and os.path.exists(npath)):
+            continue
+        depth = read_map(dpath)
+        normal = read_map(npath)
+        cam = recon.cameras[img.camera_id]
+        pose = recon.cam_from_world(iid)
+        images.append(
+            FusionImage(iid, _pinhole_K(cam), pose.rotmat(), pose.t, depth, normal)
+        )
+    pts, normals, vis = fuse_depth_maps(images, fusion_options or FusionOptions())
+    write_ply(output_path, pts, normals)
+    return pts, normals, vis
