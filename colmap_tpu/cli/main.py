@@ -338,6 +338,160 @@ def _cmd_stereo_fusion(args):
     print(f"Fused {len(pts)} points -> {args.output_path}")
 
 
+
+
+def _cmd_color_extractor(args):
+    from PIL import Image as PILImage
+
+    from colmap_tpu.scene.reconstruction_io import read_model, write_model
+
+    recon = read_model(args.input_path)
+    loaded = {}
+    for pid, p in recon.points3D.items():
+        votes = []
+        for el in p.track:
+            image = recon.images[el.image_id]
+            if el.image_id not in loaded:
+                path = os.path.join(args.image_path, image.name)
+                loaded[el.image_id] = (
+                    np.asarray(PILImage.open(path).convert("RGB"))
+                    if os.path.exists(path) else None
+                )
+            img = loaded[el.image_id]
+            if img is None:
+                continue
+            x, y = image.points2D_xy[el.point2D_idx]
+            xi = int(np.clip(round(x), 0, img.shape[1] - 1))
+            yi = int(np.clip(round(y), 0, img.shape[0] - 1))
+            votes.append(img[yi, xi])
+        if votes:
+            p.color = np.mean(votes, axis=0).astype(np.uint8)
+    write_model(recon, args.output_path, fmt="bin")
+    print(f"Extracted colors -> {args.output_path}")
+
+
+def _cmd_model_transformer(args):
+    from colmap_tpu.scene.reconstruction_io import read_model, write_model
+
+    recon = read_model(args.input_path)
+    # Transform file: one line "scale qw qx qy qz tx ty tz".
+    vals = [float(v) for v in open(args.transform_path).read().split()]
+    recon.transform(vals[0], np.array(vals[1:5]), np.array(vals[5:8]))
+    write_model(recon, args.output_path, fmt="bin")
+    print(f"Transformed -> {args.output_path}")
+
+
+def _cmd_model_cropper(args):
+    from colmap_tpu.scene.reconstruction_io import read_model, write_model
+
+    recon = read_model(args.input_path)
+    lo = np.array([float(v) for v in args.boundary.split(",")[:3]])
+    hi = np.array([float(v) for v in args.boundary.split(",")[3:6]])
+    for pid in list(recon.points3D.keys()):
+        xyz = recon.points3D[pid].xyz
+        if np.any(xyz < lo) or np.any(xyz > hi):
+            recon.delete_point3D(pid)
+    write_model(recon, args.output_path, fmt="bin")
+    print(f"Cropped to {recon.num_points3D()} points -> {args.output_path}")
+
+
+def _cmd_point_filtering(args):
+    from colmap_tpu.scene.reconstruction_io import read_model, write_model
+    from colmap_tpu.sfm.filtering import filter_points3D
+
+    recon = read_model(args.input_path)
+    n = filter_points3D(
+        recon,
+        max_reproj_error=args.max_reproj_error,
+        min_tri_angle_deg=args.min_tri_angle,
+    )
+    # Minimum track length.
+    for pid in list(recon.points3D.keys()):
+        if len(recon.points3D[pid].track) < args.min_track_len:
+            recon.delete_point3D(pid)
+    write_model(recon, args.output_path, fmt="bin")
+    print(f"Filtered {n} observations -> {args.output_path}")
+
+
+def _cmd_project_generator(args):
+    from colmap_tpu.controllers.option_manager import OptionManager
+
+    om = OptionManager(
+        database_path=args.database_path or "",
+        image_path=args.image_path or "",
+    )
+    om.write(args.output_path)
+    print(f"Wrote project file -> {args.output_path}")
+
+
+def _cmd_database_merger(args):
+    from colmap_tpu.scene.database import Database
+    from colmap_tpu.utils.types import pair_id_to_image_pair
+
+    db1 = Database(args.database_path1)
+    db2 = Database(args.database_path2)
+    out = Database(args.merged_database_path)
+    id_map = {}
+    for db in (db1, db2):
+        cam_map = {}
+        for cid, cam in db.read_cameras().items():
+            import dataclasses as _dc
+
+            cam_map[cid] = out.write_camera(_dc.replace(cam, camera_id=0),
+                                            use_camera_id=False)
+        local = {}
+        for (iid, name, cid) in db.read_images():
+            new_id = out.write_image(name, cam_map[cid])
+            local[iid] = new_id
+            kp = db.read_keypoints(iid)
+            if len(kp):
+                out.write_keypoints(new_id, kp)
+            desc = db.read_descriptors(iid)
+            if len(desc):
+                out.write_descriptors(new_id, desc)
+        for (pair_id, m) in db.read_all_matches():
+            a, b = pair_id_to_image_pair(pair_id)
+            if a in local and b in local:
+                out.write_matches(local[a], local[b], m)
+        for (a, b, g) in db.read_all_two_view_geometries():
+            if g is not None and a in local and b in local:
+                out.write_two_view_geometry(local[a], local[b], g)
+    out.commit()
+    print(f"Merged -> {args.merged_database_path}: {out.num_images()} images")
+    db1.close(); db2.close(); out.close()
+
+
+def _cmd_pose_prior_mapper(args):
+    """Mapper followed by robust alignment to prior positions.
+
+    reference behavior: pose_prior_mapper (exe/sfm.cc) — incremental mapping
+    with pose-prior-constrained alignment.
+    """
+    from colmap_tpu.estimators.alignment import align_reconstruction_to_pose_priors
+    from colmap_tpu.scene.database import Database
+    from colmap_tpu.scene.reconstruction_io import write_model
+    from colmap_tpu.sfm.incremental_pipeline import (
+        IncrementalPipeline,
+        IncrementalPipelineOptions,
+    )
+
+    db = Database(args.database_path)
+    priors = {}
+    for pid, prior in db.read_pose_priors().items():
+        if prior["position"] is not None:
+            priors[prior["data_id"]] = prior["position"]
+    models = IncrementalPipeline(IncrementalPipelineOptions(), db).run()
+    os.makedirs(args.output_path, exist_ok=True)
+    for i, recon in enumerate(models):
+        align_reconstruction_to_pose_priors(
+            recon, priors, robust_max_error=args.prior_position_max_error
+        )
+        out = os.path.join(args.output_path, str(i))
+        write_model(recon, out, fmt="bin")
+        print(f"Model {i}: {recon.num_reg_frames()} frames -> {out}")
+    db.close()
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="colmap_tpu",
@@ -434,6 +588,51 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--workspace_path", required=True)
     c.add_argument("--output_path", required=True)
     c.set_defaults(fn=_cmd_stereo_fusion)
+
+
+    c = sub.add_parser("color_extractor")
+    c.add_argument("--image_path", required=True)
+    c.add_argument("--input_path", required=True)
+    c.add_argument("--output_path", required=True)
+    c.set_defaults(fn=_cmd_color_extractor)
+
+    c = sub.add_parser("model_transformer")
+    c.add_argument("--input_path", required=True)
+    c.add_argument("--output_path", required=True)
+    c.add_argument("--transform_path", required=True)
+    c.set_defaults(fn=_cmd_model_transformer)
+
+    c = sub.add_parser("model_cropper")
+    c.add_argument("--input_path", required=True)
+    c.add_argument("--output_path", required=True)
+    c.add_argument("--boundary", required=True, help="x0,y0,z0,x1,y1,z1")
+    c.set_defaults(fn=_cmd_model_cropper)
+
+    c = sub.add_parser("point_filtering")
+    c.add_argument("--input_path", required=True)
+    c.add_argument("--output_path", required=True)
+    c.add_argument("--max_reproj_error", type=float, default=4.0)
+    c.add_argument("--min_tri_angle", type=float, default=1.5)
+    c.add_argument("--min_track_len", type=int, default=2)
+    c.set_defaults(fn=_cmd_point_filtering)
+
+    c = sub.add_parser("project_generator")
+    c.add_argument("--database_path", default="")
+    c.add_argument("--image_path", default="")
+    c.add_argument("--output_path", required=True)
+    c.set_defaults(fn=_cmd_project_generator)
+
+    c = sub.add_parser("database_merger")
+    c.add_argument("--database_path1", required=True)
+    c.add_argument("--database_path2", required=True)
+    c.add_argument("--merged_database_path", required=True)
+    c.set_defaults(fn=_cmd_database_merger)
+
+    c = sub.add_parser("pose_prior_mapper")
+    c.add_argument("--database_path", required=True)
+    c.add_argument("--output_path", required=True)
+    c.add_argument("--prior_position_max_error", type=float, default=5.0)
+    c.set_defaults(fn=_cmd_pose_prior_mapper)
 
     return p
 

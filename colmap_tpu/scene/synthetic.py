@@ -214,6 +214,24 @@ def synthesize_dataset(
 
                 image.points2D_p3d[:] = INVALID_POINT3D
 
+                if database is not None and (
+                    options.prior_position or options.prior_gravity
+                ):
+                    # reference: synthetic.cc:497-523 — priors from the GT
+                    # pose (CARTESIAN position; gravity rotated into the
+                    # camera frame).
+                    pos = cam_from_world.projection_center() if options.prior_position else None
+                    grav = None
+                    if options.prior_gravity:
+                        g = cam_from_world.apply(
+                            np.asarray(options.prior_gravity_in_world)[None]
+                        )[0] - cam_from_world.apply(np.zeros((1, 3)))[0]
+                        grav = g / np.linalg.norm(g)
+                    database.write_pose_prior(
+                        image.image_id, position=pos, gravity=grav,
+                        coordinate_system=1,  # CARTESIAN
+                    )
+
                 if database is not None:
                     database.write_keypoints(image.image_id, image.points2D_xy)
                     # One unique deterministic descriptor per 3D point so the
