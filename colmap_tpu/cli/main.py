@@ -492,12 +492,47 @@ def _cmd_pose_prior_mapper(args):
     db.close()
 
 
+
+
+def _cmd_automatic_reconstructor(args):
+    from colmap_tpu.controllers.automatic import (
+        AutomaticReconstructionOptions,
+        DataType,
+        Quality,
+        run_automatic_reconstruction,
+    )
+
+    options = AutomaticReconstructionOptions(
+        workspace_path=args.workspace_path,
+        image_path=args.image_path,
+        data_type=DataType(args.data_type),
+        quality=Quality(args.quality),
+        camera_model=args.camera_model,
+        single_camera=not args.per_image_camera,
+        dense=args.dense,
+    )
+    models = run_automatic_reconstruction(options)
+    print(f"Reconstructed {len(models)} model(s) -> {args.workspace_path}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="colmap_tpu",
         description="TPU-native SfM/MVS with COLMAP-compatible data formats",
     )
     sub = p.add_subparsers(dest="command", required=True)
+
+    c = sub.add_parser("automatic_reconstructor")
+    c.add_argument("--workspace_path", required=True)
+    c.add_argument("--image_path", required=True)
+    c.add_argument("--data_type", default="individual",
+                   choices=["individual", "video", "internet"])
+    c.add_argument("--quality", default="high",
+                   choices=["low", "medium", "high", "extreme"])
+    c.add_argument("--camera_model", default="SIMPLE_RADIAL")
+    c.add_argument("--per_image_camera", action="store_true")
+    c.add_argument("--dense", action="store_true")
+    c.set_defaults(fn=_cmd_automatic_reconstructor)
 
     c = sub.add_parser("database_creator")
     c.add_argument("--database_path", required=True)

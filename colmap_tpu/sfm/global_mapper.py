@@ -199,42 +199,51 @@ class GlobalMapper:
 
         reference behavior: GlobalMapper track establishment
         (global_mapper.cc EstablishTracks): min 3 views, drop intra-image
-        conflicts, cap track length, keep longest tracks first.
+        conflicts, cap track length, keep longest tracks first. The
+        union-find itself runs in the native C++ kernel
+        (native/graph_ops.cpp) with flat (image, point2D) node ids.
         """
+        from colmap_tpu.utils.native import union_find_labels
+
         graph = self.cache.correspondence_graph
-        parent: Dict[Tuple[int, int], Tuple[int, int]] = {}
+        image_ids = sorted(recon.images.keys())
+        offsets_by_image: Dict[int, int] = {}
+        total = 0
+        for iid in image_ids:
+            offsets_by_image[iid] = total
+            total += recon.images[iid].num_points2D()
 
-        def find(x):
-            root = x
-            while parent.get(root, root) != root:
-                root = parent[root]
-            while parent.get(x, x) != x:
-                parent[x], x = root, parent[x]
-            return root
-
-        def union(a, b):
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[ra] = rb
-
-        for image_id in recon.images:
-            if not graph.exists_image(image_id):
+        edges_a, edges_b = [], []
+        for iid in image_ids:
+            if not graph.exists_image(iid):
                 continue
-            offsets, data_img, data_idx = graph.correspondence_arrays(image_id)
-            pt_idx = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
-            for p, oid, oidx in zip(pt_idx, data_img, data_idx):
-                if int(oid) > image_id:
-                    union((image_id, int(p)), (int(oid), int(oidx)))
+            offs, data_img, data_idx = graph.correspondence_arrays(iid)
+            pt_idx = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+            sel = data_img > iid  # each undirected edge once
+            src = offsets_by_image[iid] + pt_idx[sel]
+            other_base = np.array(
+                [offsets_by_image.get(int(o), -1) for o in data_img[sel]],
+                dtype=np.int64,
+            )
+            keep = other_base >= 0
+            edges_a.append(src[keep].astype(np.int64))
+            edges_b.append(other_base[keep] + data_idx[sel][keep])
+        if not edges_a:
+            return []
+        ea = np.concatenate(edges_a)
+        eb = np.concatenate(edges_b)
+        labels = union_find_labels(total, ea, eb)
 
-        groups: Dict[Tuple[int, int], List[Tuple[int, int]]] = {}
-        for image_id in recon.images:
-            if not graph.exists_image(image_id):
-                continue
-            n_pts = recon.images[image_id].num_points2D()
-            for p in range(n_pts):
-                node = (image_id, p)
-                if node in parent or graph.has_correspondences(image_id, p):
-                    groups.setdefault(find(node), []).append(node)
+        # Group only nodes that participate in at least one correspondence.
+        touched = np.unique(np.concatenate([ea, eb]))
+        groups: Dict[int, List[Tuple[int, int]]] = {}
+        # Invert flat ids back to (image_id, point2D_idx).
+        bounds = np.array([offsets_by_image[iid] for iid in image_ids] + [total])
+        img_of = np.searchsorted(bounds, touched, side="right") - 1
+        for node, img_row in zip(touched.tolist(), img_of.tolist()):
+            iid = image_ids[img_row]
+            p = node - offsets_by_image[iid]
+            groups.setdefault(int(labels[node]), []).append((iid, int(p)))
 
         tracks = []
         for _, nodes in groups.items():
