@@ -48,13 +48,15 @@ class CorrespondenceGraph:
 
     def finalize(self):
         """Compact to CSR (reference: CorrespondenceGraph::Finalize)."""
+        from colmap_tpu.utils.native import build_csr
+
         for image_id, chunks in self._tmp.items():
             n_pts = self._num_points2D[image_id]
             if chunks:
                 rows = np.concatenate(chunks, axis=0)
-                order = np.argsort(rows[:, 0], kind="stable")
+                # Counting-sort CSR in the native kernel (O(n), stable).
+                offsets, order = build_csr(rows[:, 0], n_pts)
                 rows = rows[order]
-                offsets = np.searchsorted(rows[:, 0], np.arange(n_pts + 1))
                 data_img = rows[:, 1].astype(np.uint32)
                 data_idx = rows[:, 2].astype(np.uint32)
             else:
