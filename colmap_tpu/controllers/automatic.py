@@ -43,6 +43,8 @@ class AutomaticReconstructionOptions:
     sparse: bool = True
     dense: bool = False
     num_threads: int = -1
+    # Override for the incremental pipeline (None = defaults).
+    mapper_options: Optional[object] = None
 
 
 _QUALITY_MAX_FEATURES = {
@@ -108,7 +110,8 @@ def run_automatic_reconstruction(options: AutomaticReconstructionOptions):
 
     models = []
     if options.sparse:
-        pipeline = IncrementalPipeline(IncrementalPipelineOptions(), db)
+        pipeline_options = options.mapper_options or IncrementalPipelineOptions()
+        pipeline = IncrementalPipeline(pipeline_options, db)
         models = pipeline.run()
         sparse_dir = os.path.join(ws, "sparse")
         os.makedirs(sparse_dir, exist_ok=True)

@@ -1,4 +1,4 @@
-"""One-click automatic reconstruction end-to-end (sparse + dense).
+"""One-click automatic reconstruction end-to-end.
 
 reference test strategy: controllers/automatic_reconstruction tests.
 """
@@ -15,25 +15,15 @@ from colmap_tpu.controllers.automatic import (
     run_automatic_reconstruction,
 )
 from colmap_tpu.estimators.alignment import compare_reconstructions
-from colmap_tpu.scene.synthetic import SyntheticDatasetOptions, synthesize_dataset
-from colmap_tpu.scene.synthetic_images import render_images
+from tests.test_e2e_images import _render_scene
 
 
 @pytest.mark.slow
 def test_automatic_reconstruction_sparse(tmp_path):
-    # Ground-truth scene rendered to images.
-    opt = SyntheticDatasetOptions(
-        num_rigs=1, num_frames_per_rig=6, num_points3D=90, seed=13,
-        camera_model_id=1, camera_params=(600.0, 600.0, 240.0, 240.0),
-        camera_width=480, camera_height=480,
-        num_points2D_without_point3D=0,
-    )
-    gt = synthesize_dataset(opt)
-    # Spread the points for well-conditioned two-view geometry.
-    for p in gt.points3D.values():
-        p.xyz = p.xyz * 1.8
-    img_dir = str(tmp_path / "images")
-    render_images(gt, img_dir, patch_world=0.12)
+    img_dir, names, gt, focal = _render_scene(tmp_path)
+
+    from colmap_tpu.sfm.incremental_mapper import IncrementalMapperOptions
+    from colmap_tpu.sfm.incremental_pipeline import IncrementalPipelineOptions
 
     options = AutomaticReconstructionOptions(
         workspace_path=str(tmp_path / "ws"),
@@ -41,20 +31,19 @@ def test_automatic_reconstruction_sparse(tmp_path):
         data_type=DataType.INDIVIDUAL,
         quality=Quality.MEDIUM,
         camera_model="PINHOLE",
+        mapper_options=IncrementalPipelineOptions(
+            mapper=IncrementalMapperOptions(
+                init_min_num_inliers=50, abs_pose_min_num_inliers=15
+            )
+        ),
     )
     models = run_automatic_reconstruction(options)
     assert models, "no model"
     recon = models[0]
-    assert recon.num_reg_frames() >= 5
+    assert recon.num_reg_frames() >= len(names) - 1
     assert os.path.exists(str(tmp_path / "ws" / "sparse" / "0" / "cameras.bin"))
-    # GT image names carry .png via the renderer; map by name for comparison.
-    name_to_gt = {gt.images[i].name + ("" if gt.images[i].name.endswith(".png") else ".png"): i
-                  for i in gt.reg_image_ids()}
-    # compare via name-matched subset
-    common = 0
-    errs = []
-    for iid in recon.reg_image_ids():
-        nm = recon.images[iid].name
-        if nm in name_to_gt:
-            common += 1
-    assert common >= 5
+    cmp = compare_reconstructions(recon, gt)
+    assert cmp["num_common_images"] >= len(names) - 1
+    # The extractor guesses the focal length (no prior passed), so the
+    # tolerance is looser than the calibrated end-to-end test.
+    assert cmp["max_rotation_error_deg"] < 5.0
