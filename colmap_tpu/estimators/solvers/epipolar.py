@@ -102,6 +102,245 @@ def essential_eight_point(x1, x2, weights=None):
     return E
 
 
+# ---------------------------------------------------------------------------
+# 5-point essential matrix (Nistér) — TPU-safe batched formulation.
+#
+# reference behavior: estimators/solvers/essential_matrix.* +
+# essential_matrix_poly.h (PoseLib 5pt with the 10th-degree polynomial).
+# Design notes: the classic action-matrix eigendecomposition needs a
+# nonsymmetric eig (unavailable on TPU), so this uses Nistér's closed
+# polynomial reduction: nullspace basis -> 10x20 cubic-constraint system ->
+# Gauss-Jordan -> 3x3 polynomial matrix B(z) -> det B(z) = degree-10
+# polynomial, whose real roots are isolated on a tan(theta) grid in
+# homogeneous (sin, cos) form (overflow-free) and polished by bisection —
+# fixed shapes throughout, so thousands of samples run as one XLA program.
+# ---------------------------------------------------------------------------
+
+# Monomial orders.
+# deg1: [x, y, z, 1]
+# deg2: [x², y², z², xy, xz, yz, x, y, z, 1]
+# deg3 (Nistér's 20-monomial order):
+#   [x³, y³, x²y, xy², x²z, x², y²z, y², xyz, xy,
+#    xz², xz, x, yz², yz, y, z³, z², z, 1]
+_MUL11 = (  # deg1 x deg1 -> deg2 index table
+    (0, 3, 4, 6),
+    (3, 1, 5, 7),
+    (4, 5, 2, 8),
+    (6, 7, 8, 9),
+)
+_MUL21 = (  # deg2 x deg1 -> deg3 index table
+    (0, 2, 4, 5),     # x² · [x,y,z,1]
+    (3, 1, 6, 7),     # y²
+    (10, 13, 16, 17), # z²
+    (2, 3, 8, 9),     # xy
+    (4, 8, 10, 11),   # xz
+    (8, 6, 13, 14),   # yz
+    (5, 9, 11, 12),   # x
+    (9, 7, 14, 15),   # y
+    (11, 14, 17, 18), # z
+    (12, 15, 18, 19), # 1
+)
+
+
+def _p1_mul_p1(p, q):
+    """(.., 4) x (.., 4) -> (.., 10)."""
+    out = jnp.zeros(p.shape[:-1] + (10,), dtype=p.dtype)
+    for i in range(4):
+        for j in range(4):
+            out = out.at[..., _MUL11[i][j]].add(p[..., i] * q[..., j])
+    return out
+
+
+def _p2_mul_p1(p, q):
+    """(.., 10) x (.., 4) -> (.., 20)."""
+    out = jnp.zeros(p.shape[:-1] + (20,), dtype=p.dtype)
+    for i in range(10):
+        for j in range(4):
+            out = out.at[..., _MUL21[i][j]].add(p[..., i] * q[..., j])
+    return out
+
+
+def _polyval_homog(coeffs, s, c):
+    """Evaluate sum_k coeffs[k] * s^(n-k) * c^k (descending z-powers).
+
+    coeffs: (.., n+1); s, c: (.., G). Homogeneous form of p(z) with
+    z = s/c — finite at c -> 0, so the whole real line is searchable.
+    """
+    n = coeffs.shape[-1] - 1
+    G = s.shape[-1]
+    out = jnp.zeros(coeffs.shape[:-1] + (G,), dtype=coeffs.dtype)
+    # Horner in s with a running power of c.
+    for k in range(n + 1):
+        out = out * s + coeffs[..., k, None] * (c ** k if k else 1.0)
+    return out
+
+
+def essential_five_point(x1, x2):
+    """Nistér 5-point essential matrix: up to 10 solutions.
+
+    x1, x2: (5, 2) *normalized* (calibrated) coordinates; single sample —
+    vmap for batches. Returns (10, 3, 3) with NaN padding.
+    """
+    dtype = x1.dtype
+    A = _epipolar_constraint_matrix(x1, x2)  # (5, 9)
+    AtA = A.T @ A
+    _, vecs = jnp.linalg.eigh(AtA)
+    # 4-dim nullspace basis; E = x E0 + y E1 + z E2 + E3.
+    EB = jnp.stack([vecs[:, k].reshape(3, 3) for k in range(4)], axis=-1)
+    # EB[i, j] is the deg1 poly (x, y, z, 1) for entry (i, j): shape (3,3,4).
+
+    # det(E): expansion along the first row (deg3).
+    def minor(i0, i1, j0, j1):
+        return _p1_mul_p1(EB[i0, j0], EB[i1, j1]) - _p1_mul_p1(
+            EB[i0, j1], EB[i1, j0]
+        )
+
+    det_row = (
+        _p2_mul_p1(minor(1, 2, 1, 2), EB[0, 0])
+        - _p2_mul_p1(minor(1, 2, 0, 2), EB[0, 1])
+        + _p2_mul_p1(minor(1, 2, 0, 1), EB[0, 2])
+    )  # (20,)
+
+    # 2 E Eᵀ E − trace(E Eᵀ) E = 0: nine deg3 rows.
+    EEt = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for k in range(3):
+            acc = jnp.zeros((10,), dtype=dtype)
+            for j in range(3):
+                acc = acc + _p1_mul_p1(EB[i, j], EB[k, j])
+            EEt[i][k] = acc
+    trace = EEt[0][0] + EEt[1][1] + EEt[2][2]
+    rows = [det_row]
+    for i in range(3):
+        for j in range(3):
+            acc = jnp.zeros((20,), dtype=dtype)
+            for k in range(3):
+                Lik = 2.0 * EEt[i][k] - (trace if i == k else 0.0)
+                acc = acc + _p2_mul_p1(Lik, EB[k, j])
+            rows.append(acc)
+    M = jnp.stack(rows, axis=0)  # (10, 20)
+
+    # Gauss-Jordan: [A1 | A2] -> [I | A1⁻¹ A2].
+    Mred = jnp.linalg.solve(M[:, :10], M[:, 10:])  # (10, 10)
+    # Columns of Mred: [xz², xz, x, yz², yz, y, z³, z², z, 1].
+
+    def brow(i):
+        r1, r2 = Mred[4 + 2 * i], Mred[5 + 2 * i]
+        p1 = jnp.stack([r2[0], r2[1] - r1[0], r2[2] - r1[1], -r1[2]])
+        p2 = jnp.stack([r2[3], r2[4] - r1[3], r2[5] - r1[4], -r1[5]])
+        p3 = jnp.stack(
+            [r2[6], r2[7] - r1[6], r2[8] - r1[7], r2[9] - r1[8], -r1[9]]
+        )
+        return p1, p2, p3
+
+    (p1a, p2a, p3a), (p1b, p2b, p3b), (p1c, p2c, p3c) = (
+        brow(0), brow(1), brow(2)
+    )
+
+    conv = lambda a, b: jnp.convolve(a, b)  # noqa: E731 (descending powers)
+    # det of [[p1a,p2a,p3a],[p1b,p2b,p3b],[p1c,p2c,p3c]] — degree 10 in z.
+    n_poly = (
+        conv(p1a, conv(p2b, p3c) - conv(p2c, p3b))
+        - conv(p2a, conv(p1b, p3c) - conv(p1c, p3b))
+        + conv(p3a, conv(p1b, p2c) - conv(p1c, p2b))
+    )  # (11,) descending
+
+    scale = jnp.max(jnp.abs(n_poly))
+    n_poly = n_poly / jnp.maximum(scale, 1e-300 if dtype == jnp.float64 else 1e-30)
+
+    # Root isolation: z = tan(theta) grid in homogeneous (sin, cos) form.
+    # Endpoint-inclusive: the homogeneous form is finite at theta = ±pi/2,
+    # so arbitrarily large real roots still produce a sign change in the
+    # boundary cells. Cells holding a *pair* of close roots show no sign
+    # change; those are recovered by bisecting the derivative to the
+    # enclosed extremum and splitting the cell there.
+    G = 1024
+    theta = jnp.arange(G + 1, dtype=dtype) / G * jnp.pi - jnp.pi / 2
+    sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
+    v = _polyval_homog(n_poly, sin_t, cos_t)
+    d_poly = n_poly[:-1] * jnp.arange(10, 0, -1, dtype=dtype)
+    dv = _polyval_homog(d_poly, sin_t, cos_t)
+
+    sign_change = v[:-1] * v[1:] < 0
+    idx = jnp.nonzero(sign_change, size=10, fill_value=0)[0]
+    direct_valid = sign_change[idx]
+    d_lo, d_hi = theta[idx], theta[idx + 1]
+
+    # Extremum cells: derivative flips but the value does not.
+    ext_cell = (dv[:-1] * dv[1:] < 0) & ~sign_change
+    eidx = jnp.nonzero(ext_cell, size=9, fill_value=0)[0]
+    e_valid = ext_cell[eidx]
+    e_lo, e_hi = theta[eidx], theta[eidx + 1]
+    e_dlo = dv[eidx]
+
+    def bis_d(carry, _):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        vm = _polyval_homog(d_poly, jnp.sin(mid), jnp.cos(mid))
+        go_right = jnp.sign(vm) == jnp.sign(e_dlo)
+        return (jnp.where(go_right, mid, lo), jnp.where(go_right, hi, mid)), None
+
+    (el, eh), _ = jax.lax.scan(bis_d, (e_lo, e_hi), None, length=50)
+    e_mid = 0.5 * (el + eh)
+    v_mid = _polyval_homog(n_poly, jnp.sin(e_mid), jnp.cos(e_mid))
+    split = e_valid & (jnp.sign(v_mid) != jnp.sign(v[eidx])) & (v_mid != 0)
+
+    # Candidate brackets: 10 direct + 18 from extremum splits.
+    lo = jnp.concatenate([d_lo, e_lo, e_mid])
+    hi = jnp.concatenate([d_hi, e_mid, e_hi])
+    valid_all = jnp.concatenate([direct_valid, split, split])
+    vlo = _polyval_homog(n_poly, jnp.sin(lo), jnp.cos(lo))
+
+    def bis(carry, _):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        vm = _polyval_homog(n_poly, jnp.sin(mid), jnp.cos(mid))
+        go_right = jnp.sign(vm) == jnp.sign(vlo)
+        return (jnp.where(go_right, mid, lo), jnp.where(go_right, hi, mid)), None
+
+    (lo, hi), _ = jax.lax.scan(bis, (lo, hi), None, length=60)
+    # A degree-10 polynomial has at most 10 real roots: compact to 10.
+    ridx = jnp.nonzero(valid_all, size=10, fill_value=0)[0]
+    valid = valid_all[ridx]
+    z = jnp.tan(0.5 * (lo + hi))[ridx]  # (10,)
+
+    # Back-substitute x(z), y(z): least squares over the three B rows.
+    def peval(p, z):
+        out = jnp.zeros_like(z)
+        for k in range(p.shape[0]):
+            out = out * z + p[k]
+        return out
+
+    a11, a12, b1 = peval(p1a, z), peval(p2a, z), -peval(p3a, z)
+    a21, a22, b2 = peval(p1b, z), peval(p2b, z), -peval(p3b, z)
+    a31, a32, b3 = peval(p1c, z), peval(p2c, z), -peval(p3c, z)
+    # Normal equations (2x2) of the 3x2 system.
+    g11 = a11 * a11 + a21 * a21 + a31 * a31
+    g12 = a11 * a12 + a21 * a22 + a31 * a32
+    g22 = a12 * a12 + a22 * a22 + a32 * a32
+    h1 = a11 * b1 + a21 * b2 + a31 * b3
+    h2 = a12 * b1 + a22 * b2 + a32 * b3
+    det_g = g11 * g22 - g12 * g12
+    safe = jnp.where(jnp.abs(det_g) < 1e-30, 1.0, det_g)
+    xs = (g22 * h1 - g12 * h2) / safe
+    ys = (g11 * h2 - g12 * h1) / safe
+
+    E = (
+        xs[:, None, None] * EB[None, :, :, 0]
+        + ys[:, None, None] * EB[None, :, :, 1]
+        + z[:, None, None] * EB[None, :, :, 2]
+        + EB[None, :, :, 3]
+    )  # (10, 3, 3)
+    # Project onto the essential manifold (absorbs root-polish residue).
+    U, S, Vt = jnp.linalg.svd(E)
+    S_proj = jnp.concatenate(
+        [jnp.ones_like(S[..., :2]), jnp.zeros_like(S[..., :1])], axis=-1
+    )
+    E = U @ (S_proj[..., None] * Vt)
+    ok = valid & (jnp.abs(det_g) >= 1e-30)
+    return jnp.where(ok[:, None, None], E, jnp.nan)
+
+
 def fundamental_seven_point(x1, x2):
     """7-point fundamental matrix: up to 3 solutions.
 

@@ -21,6 +21,7 @@ import numpy as np
 
 from colmap_tpu.estimators.solvers.epipolar import (
     essential_eight_point,
+    essential_five_point,
     fundamental_eight_point,
     fundamental_seven_point,
     homography_dlt,
@@ -56,6 +57,9 @@ class TwoViewGeometryOptions:
     watermark_detection_max_error: float = 4.0
     force_H_use: bool = False
     compute_relative_pose: bool = False
+    # Dominant-plane-robust F (reference: two_view_geometry.h:103 DEGENSAC,
+    # estimators/fundamental_matrix_degensac.*).
+    use_degensac: bool = False
     ransac: RansacOptions = dataclasses.field(
         default_factory=lambda: RansacOptions(
             max_error=4.0,
@@ -99,15 +103,19 @@ def _ransac_f(key, x1, x2, mask, options: RansacOptions):
 
 @_partial(jax.jit, static_argnames=("options",))
 def _ransac_e(key, x1n, x2n, mask, max_error, options: RansacOptions):
-    """Essential-matrix LO-RANSAC (normalized coords), 8pt minimal + refit.
+    """Essential-matrix LO-RANSAC (normalized coords): 5-point Nistér
+    minimal solver (up to 10 solutions/sample) + weighted 8pt LO refit —
+    the reference's LORANSAC<EssentialMatrixFivePointEstimator>
+    (estimators/two_view_geometry.cc:569-636).
 
     max_error is traced so per-camera normalized thresholds share one
     compiled program."""
     n = x1n.shape[0]
 
     def sample_estimate(idxs):
-        s1, s2 = x1n[idxs], x2n[idxs]
-        return jax.vmap(essential_eight_point)(s1, s2)
+        s1, s2 = x1n[idxs], x2n[idxs]  # (K, 5, 2)
+        Es = jax.vmap(essential_five_point)(s1, s2)  # (K, 10, 3, 3)
+        return Es.reshape(-1, 3, 3)
 
     def residual(models):
         return sampson_error(models[:, None], x1n[None], x2n[None])
@@ -115,7 +123,7 @@ def _ransac_e(key, x1n, x2n, mask, max_error, options: RansacOptions):
     def refine(model, weights):
         return essential_eight_point(x1n, x2n, weights)
 
-    return ransac(key, n, 8, sample_estimate, residual, options, mask, refine,
+    return ransac(key, n, 5, sample_estimate, residual, options, mask, refine,
                   max_error=max_error)
 
 
@@ -219,6 +227,26 @@ def estimate_two_view_geometry(
     num_f = int(res_f.num_inliers)
     num_h = int(res_h.num_inliers)
     num_e = int(res_e.num_inliers) if res_e is not None else 0
+
+    if options.use_degensac and num_f >= options.min_num_inliers:
+        # H-degeneracy test on the F support; recover via plane-and-parallax.
+        from colmap_tpu.estimators.degensac import (
+            degensac_recover_f,
+            is_h_degenerate,
+        )
+
+        num_fh = int(jnp.sum(res_f.inlier_mask & res_h.inlier_mask))
+        if bool(is_h_degenerate(num_f, num_fh)):
+            kd = jax.random.fold_in(key, 3)
+            F_rec, n_rec, inl_rec, recovered = degensac_recover_f(
+                kd, x1, x2, mask, res_f.model, res_f.inlier_mask,
+                res_h.model, res_h.inlier_mask, options.ransac,
+            )
+            if bool(recovered):
+                res_f = res_f._replace(
+                    model=F_rec, num_inliers=n_rec, inlier_mask=inl_rec
+                )
+                num_f = int(n_rec)
 
     if options.force_H_use:
         best_mask, best_num = res_h.inlier_mask, num_h

@@ -11,6 +11,7 @@ import pytest
 
 from colmap_tpu.estimators.solvers.epipolar import (
     essential_eight_point,
+    essential_five_point,
     fundamental_eight_point,
     fundamental_seven_point,
     homography_dlt,
@@ -91,6 +92,51 @@ def test_essential_eight_point():
     E_n = np.asarray(E) / np.linalg.norm(np.asarray(E))
     E_gt_n = np.asarray(E_gt) / np.linalg.norm(np.asarray(E_gt))
     assert min(np.abs(E_n - E_gt_n).max(), np.abs(E_n + E_gt_n).max()) < 1e-6
+
+
+def test_essential_five_point():
+    """Nistér 5pt must recover the exact ground-truth E among its solutions.
+
+    reference: estimators/solvers/essential_matrix* (PoseLib 5pt);
+    close-root-pair isolation exercised implicitly across seeds.
+    """
+    rng = np.random.default_rng(7)
+    n_exact = 0
+    n_trials = 20
+    for _ in range(n_trials):
+        x1, x2, pose, _ = _random_two_view(rng, 5)
+        E_gt = np.asarray(essential_from_pose(pose))
+        E_gt /= np.linalg.norm(E_gt)
+        Es = np.asarray(essential_five_point(x1, x2))
+        best = np.inf
+        n_valid = 0
+        for E in Es:
+            if not np.all(np.isfinite(E)):
+                continue
+            n_valid += 1
+            # Every returned solution satisfies the 5 constraints.
+            err = np.asarray(sampson_error(jnp.asarray(E), x1, x2))
+            assert err.max() < 1e-10
+            En = E / np.linalg.norm(E)
+            best = min(best, np.abs(En - E_gt).max(), np.abs(En + E_gt).max())
+        assert n_valid >= 1
+        if best < 1e-5:
+            n_exact += 1
+    assert n_exact >= 0.9 * n_trials
+
+
+def test_essential_five_point_vmapped():
+    rng = np.random.default_rng(8)
+    s1, s2 = [], []
+    for _ in range(4):
+        x1, x2, _, _ = _random_two_view(rng, 5)
+        s1.append(x1)
+        s2.append(x2)
+    Es = jax.vmap(essential_five_point)(jnp.stack(s1), jnp.stack(s2))
+    assert Es.shape == (4, 10, 3, 3)
+    # Each batch entry has at least one finite solution.
+    finite = np.isfinite(np.asarray(Es)).all(axis=(2, 3))
+    assert finite.any(axis=1).all()
 
 
 def test_fundamental_eight_point():
