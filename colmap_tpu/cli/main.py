@@ -50,7 +50,7 @@ def _cmd_exhaustive_matcher(args):
     from colmap_tpu.controllers.feature_pipeline import run_exhaustive_matching
     from colmap_tpu.scene.database import Database
 
-    db = Database(args.database_path)
+    db = Database(args.database_path, must_exist=True)
     n = run_exhaustive_matching(db)
     print(f"Verified {n} image pairs")
     db.close()
@@ -61,7 +61,7 @@ def _cmd_sequential_matcher(args):
     from colmap_tpu.feature.pairing import SequentialPairingOptions
     from colmap_tpu.scene.database import Database
 
-    db = Database(args.database_path)
+    db = Database(args.database_path, must_exist=True)
     n = run_sequential_matching(
         db, pairing=SequentialPairingOptions(overlap=args.overlap)
     )
@@ -74,7 +74,7 @@ def _cmd_matches_importer(args):
     from colmap_tpu.feature.pairing import imported_pairs
     from colmap_tpu.scene.database import Database
 
-    db = Database(args.database_path)
+    db = Database(args.database_path, must_exist=True)
     name_to_id = {name: iid for (iid, name, _) in db.read_images()}
     pairs = imported_pairs(args.match_list_path, name_to_id)
     n = run_matches_import(db, pairs)
@@ -90,7 +90,7 @@ def _cmd_mapper(args):
         IncrementalPipelineOptions,
     )
 
-    db = Database(args.database_path)
+    db = Database(args.database_path, must_exist=True)
     options = IncrementalPipelineOptions(verbose=not args.quiet)
     pipeline = IncrementalPipeline(options, db)
     models = pipeline.run()
@@ -110,7 +110,7 @@ def _cmd_global_mapper(args):
     from colmap_tpu.scene.reconstruction_io import write_model
     from colmap_tpu.sfm.global_pipeline import GlobalPipeline, GlobalPipelineOptions
 
-    db = Database(args.database_path)
+    db = Database(args.database_path, must_exist=True)
     recon = GlobalPipeline(GlobalPipelineOptions(verbose=not args.quiet), db).run()
     if recon is None:
         print("Global mapping failed")
@@ -160,7 +160,7 @@ def _cmd_point_triangulator(args):
     from colmap_tpu.sfm.incremental_mapper import IncrementalMapper, IncrementalMapperOptions
     from colmap_tpu.sfm.incremental_triangulator import TriangulatorOptions
 
-    db = Database(args.database_path)
+    db = Database(args.database_path, must_exist=True)
     recon = read_model(args.input_path)
     cache = DatabaseCache.create(db)
     mapper = IncrementalMapper(cache)
@@ -475,7 +475,7 @@ def _cmd_pose_prior_mapper(args):
         IncrementalPipelineOptions,
     )
 
-    db = Database(args.database_path)
+    db = Database(args.database_path, must_exist=True)
     priors = {}
     for pid, prior in db.read_pose_priors().items():
         if prior["position"] is not None:

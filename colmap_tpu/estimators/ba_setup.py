@@ -16,13 +16,14 @@ import numpy as np
 from colmap_tpu.estimators.bundle_adjustment import BAProblem
 from colmap_tpu.scene.reconstruction import Reconstruction
 from colmap_tpu.scene.types import INVALID_POINT3D, Pose
+from colmap_tpu.utils.dtypes import floatx
 
 
 def problem_from_reconstruction(
     recon: Reconstruction,
     image_ids: Optional[List[int]] = None,
     point_ids: Optional[List[int]] = None,
-    dtype=jnp.float64,
+    dtype=floatx(),
     bucket: bool = True,
 ) -> Tuple[BAProblem, Dict]:
     """Pack (a subset of) a reconstruction into BAProblem arrays.

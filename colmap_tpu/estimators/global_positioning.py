@@ -27,6 +27,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from colmap_tpu.utils.dtypes import floatx
 
 
 @dataclasses.dataclass(frozen=True)
@@ -161,7 +162,7 @@ def solve_global_positioning(
     options: Optional[GlobalPositioningOptions] = None,
     init_centers: Optional[np.ndarray] = None,
     init_points: Optional[np.ndarray] = None,
-    dtype=jnp.float64,
+    dtype=floatx(),
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Estimate camera centers and points from world-frame bearings.
 

@@ -21,6 +21,7 @@ from colmap_tpu.geometry import rotation as rot
 from colmap_tpu.optim.ransac import RansacOptions, ransac
 from colmap_tpu.scene.types import Camera, Pose
 from colmap_tpu.sensor import models as camera_models
+from colmap_tpu.utils.dtypes import floatx
 
 
 from functools import partial as _partial
@@ -106,8 +107,8 @@ def estimate_absolute_pose(
     from colmap_tpu.utils.bucketing import bucket_size, pad_rows
 
     bucket = bucket_size(n, 128)
-    xy = jnp.asarray(pad_rows(np.asarray(points2D), bucket), dtype=jnp.float64)
-    X = jnp.asarray(pad_rows(np.asarray(points3D), bucket), dtype=jnp.float64)
+    xy = jnp.asarray(pad_rows(np.asarray(points2D), bucket), dtype=floatx())
+    X = jnp.asarray(pad_rows(np.asarray(points3D), bucket), dtype=floatx())
     row_valid = jnp.asarray(np.arange(bucket) < n)
     params = jnp.asarray(camera.params)
     model_id = int(camera.model_id)
@@ -173,14 +174,14 @@ def refine_absolute_pose(
     w = pad_rows(inlier_mask.astype(np.float64), bucket)
 
     problem = ba.BAProblem(
-        quat=jnp.asarray(cam_from_world.quat, dtype=jnp.float64)[None],
-        t=jnp.asarray(cam_from_world.t, dtype=jnp.float64)[None],
-        cam_params=jnp.asarray(camera.params, dtype=jnp.float64)[None],
-        points=jnp.asarray(pad_rows(np.asarray(points3D), bucket), dtype=jnp.float64),
+        quat=jnp.asarray(cam_from_world.quat, dtype=floatx())[None],
+        t=jnp.asarray(cam_from_world.t, dtype=floatx())[None],
+        cam_params=jnp.asarray(camera.params, dtype=floatx())[None],
+        points=jnp.asarray(pad_rows(np.asarray(points3D), bucket), dtype=floatx()),
         obs_frame=jnp.zeros(bucket, dtype=jnp.int32),
         obs_cam=jnp.zeros(bucket, dtype=jnp.int32),
         obs_point=jnp.arange(bucket, dtype=jnp.int32),
-        obs_xy=jnp.asarray(pad_rows(np.asarray(points2D), bucket), dtype=jnp.float64),
+        obs_xy=jnp.asarray(pad_rows(np.asarray(points2D), bucket), dtype=floatx()),
         obs_w=jnp.asarray(w),
     )
     ba_options = ba.BAOptions(

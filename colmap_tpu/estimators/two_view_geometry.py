@@ -41,6 +41,7 @@ from colmap_tpu.scene.types import (
     TwoViewGeometryConfig,
 )
 from colmap_tpu.sensor import models as camera_models
+from colmap_tpu.utils.dtypes import floatx
 
 
 @dataclasses.dataclass
@@ -196,10 +197,10 @@ def estimate_two_view_geometry(
     n_matches = len(matches)
     bucket = bucket_size(n_matches, 256)
     x1 = jnp.asarray(
-        pad_rows(np.asarray(points1)[matches[:, 0]], bucket), dtype=jnp.float64
+        pad_rows(np.asarray(points1)[matches[:, 0]], bucket), dtype=floatx()
     )
     x2 = jnp.asarray(
-        pad_rows(np.asarray(points2)[matches[:, 1]], bucket), dtype=jnp.float64
+        pad_rows(np.asarray(points2)[matches[:, 1]], bucket), dtype=floatx()
     )
     mask = jnp.asarray(np.arange(bucket) < n_matches)
     key = jax.random.PRNGKey(seed)
@@ -324,10 +325,10 @@ def _recover_pose(g: TwoViewGeometry, camera1, points1, camera2, points2):
     pad_idx = np.zeros(bucket, dtype=np.int64)
     pad_idx[:n_inl] = np.arange(n_inl)
     x1 = jnp.asarray(
-        np.asarray(points1)[g.inlier_matches[pad_idx, 0]], dtype=jnp.float64
+        np.asarray(points1)[g.inlier_matches[pad_idx, 0]], dtype=floatx()
     )
     x2 = jnp.asarray(
-        np.asarray(points2)[g.inlier_matches[pad_idx, 1]], dtype=jnp.float64
+        np.asarray(points2)[g.inlier_matches[pad_idx, 1]], dtype=floatx()
     )
     x1n, _ = camera_models.cam_from_img(camera1.model_id, jnp.asarray(camera1.params), x1)
     x2n, _ = camera_models.cam_from_img(camera2.model_id, jnp.asarray(camera2.params), x2)

@@ -17,6 +17,7 @@ import numpy as np
 
 from colmap_tpu.scene.types import Camera
 from colmap_tpu.sensor import models as camera_models
+from colmap_tpu.utils.dtypes import floatx
 
 
 @dataclasses.dataclass
@@ -108,7 +109,7 @@ def undistort_image(
     grid = np.stack([xs + 0.5, ys + 0.5], axis=-1).reshape(-1, 2)
     uv, _ = camera_models.cam_from_img(
         int(undistorted_camera.model_id), jnp.asarray(undistorted_camera.params),
-        jnp.asarray(grid, dtype=jnp.float64),
+        jnp.asarray(grid, dtype=floatx()),
     )
     uvw = jnp.concatenate([uv, jnp.ones_like(uv[:, :1])], axis=1)
     src_xy, ok = camera_models.img_from_cam(

@@ -30,6 +30,7 @@ from colmap_tpu.scene.types import (  # noqa: F401
     TwoViewGeometry,
 )
 from colmap_tpu.sensor.models import CameraModelId  # noqa: F401
+from colmap_tpu.utils.dtypes import floatx
 
 
 class Reconstruction(_Reconstruction):
@@ -206,8 +207,8 @@ def estimate_essential_matrix(points1, points2, camera1, camera2, **kwargs):
 
     n = len(points1)
     bucket = bucket_size(n, 256)
-    x1 = jnp.asarray(pad_rows(np.asarray(points1), bucket), dtype=jnp.float64)
-    x2 = jnp.asarray(pad_rows(np.asarray(points2), bucket), dtype=jnp.float64)
+    x1 = jnp.asarray(pad_rows(np.asarray(points1), bucket), dtype=floatx())
+    x2 = jnp.asarray(pad_rows(np.asarray(points2), bucket), dtype=floatx())
     mask = jnp.asarray(np.arange(bucket) < n)
     x1n, _ = cm.cam_from_img(camera1.model_id, jnp.asarray(camera1.params), x1)
     x2n, _ = cm.cam_from_img(camera2.model_id, jnp.asarray(camera2.params), x2)

@@ -15,6 +15,7 @@ tooling:
 
 from __future__ import annotations
 
+import os
 import sqlite3
 from typing import Dict, List, Optional, Tuple
 
@@ -141,7 +142,9 @@ def _blob_mat(b, shape) -> Optional[np.ndarray]:
 class Database:
     """Python counterpart of the reference Database (sqlite backend)."""
 
-    def __init__(self, path: str = ":memory:"):
+    def __init__(self, path: str = ":memory:", must_exist: bool = False):
+        if must_exist and path != ":memory:" and not os.path.exists(path):
+            raise FileNotFoundError(f"Database does not exist: {path}")
         self.conn = sqlite3.connect(path)
         self.conn.executescript(_SCHEMA)
         self.conn.commit()

@@ -45,6 +45,7 @@ from colmap_tpu.scene.types import (
 from colmap_tpu.sensor import models as camera_models
 from colmap_tpu.sfm.incremental_triangulator import IncrementalTriangulator, TriangulatorOptions
 from colmap_tpu.utils.types import SensorType
+from colmap_tpu.utils.dtypes import floatx
 
 
 @dataclasses.dataclass
@@ -154,10 +155,10 @@ class IncrementalMapper:
         n_matches = len(matches)
         bucket = bucket_size(n_matches, 256)
         x1 = jnp.asarray(
-            pad_rows(image1.points2D_xy[matches[:, 0]], bucket), dtype=jnp.float64
+            pad_rows(image1.points2D_xy[matches[:, 0]], bucket), dtype=floatx()
         )
         x2 = jnp.asarray(
-            pad_rows(image2.points2D_xy[matches[:, 1]], bucket), dtype=jnp.float64
+            pad_rows(image2.points2D_xy[matches[:, 1]], bucket), dtype=floatx()
         )
         mask = jnp.asarray(np.arange(bucket) < n_matches)
         x1n, ok1 = camera_models.cam_from_img(cam1.model_id, jnp.asarray(cam1.params), x1)

@@ -22,6 +22,7 @@ from colmap_tpu.scene.correspondence_graph import CorrespondenceGraph
 from colmap_tpu.scene.reconstruction import Reconstruction
 from colmap_tpu.scene.types import INVALID_POINT3D, Pose, TrackElement
 from colmap_tpu.sensor import models as camera_models
+from colmap_tpu.utils.dtypes import floatx
 
 
 @dataclasses.dataclass
@@ -54,7 +55,7 @@ class IncrementalTriangulator:
 
     def _normalized(self, camera, xy):
         uv, ok = camera_models.cam_from_img(
-            camera.model_id, jnp.asarray(camera.params), jnp.asarray(xy, dtype=jnp.float64)
+            camera.model_id, jnp.asarray(camera.params), jnp.asarray(xy, dtype=floatx())
         )
         return np.asarray(uv), np.asarray(ok)
 
