@@ -340,6 +340,55 @@ def _cmd_stereo_fusion(args):
 
 
 
+def _cmd_poisson_mesher(args):
+    from colmap_tpu.mvs.meshing import PoissonMeshingOptions, poisson_mesh
+    from colmap_tpu.utils.ply import read_ply, write_ply_mesh
+
+    data = read_ply(args.input_path)
+    if "normals" not in data:
+        print("Input PLY has no normals; Poisson meshing requires oriented points")
+        sys.exit(1)
+    options = PoissonMeshingOptions(
+        depth=args.depth, point_weight=args.point_weight, trim=args.trim
+    )
+    verts, faces, colors = poisson_mesh(
+        data["points"], data["normals"], data.get("colors"), options
+    )
+    write_ply_mesh(args.output_path, verts, faces, colors)
+    print(f"Meshed {len(verts)} vertices, {len(faces)} faces -> {args.output_path}")
+
+
+def _cmd_delaunay_mesher(args):
+    from colmap_tpu.mvs.fusion import read_fused_vis
+    from colmap_tpu.mvs.meshing import DelaunayMeshingOptions, delaunay_meshing
+    from colmap_tpu.scene.reconstruction_io import read_model
+    from colmap_tpu.utils.ply import read_ply, write_ply_mesh
+
+    ws = args.input_path
+    fused = os.path.join(ws, "fused.ply")
+    if not os.path.exists(fused):
+        print(f"Missing {fused}; run stereo_fusion first")
+        sys.exit(1)
+    data = read_ply(fused)
+    vis_path = fused + ".vis"
+    vis = (
+        read_fused_vis(vis_path)
+        if os.path.exists(vis_path)
+        else [np.zeros(0, np.uint32)] * len(data["points"])
+    )
+    recon = read_model(os.path.join(ws, "sparse"))
+    centers = {
+        iid: np.asarray(recon.cam_from_world(iid).inverse().t)
+        for iid in recon.reg_image_ids()
+    }
+    options = DelaunayMeshingOptions(
+        quality_regularization=args.quality_regularization
+    )
+    verts, faces = delaunay_meshing(data["points"], vis, centers, options)
+    write_ply_mesh(args.output_path, verts, faces)
+    print(f"Meshed {len(verts)} vertices, {len(faces)} faces -> {args.output_path}")
+
+
 def _cmd_color_extractor(args):
     from PIL import Image as PILImage
 
@@ -624,6 +673,21 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--output_path", required=True)
     c.set_defaults(fn=_cmd_stereo_fusion)
 
+
+    c = sub.add_parser("poisson_mesher")
+    c.add_argument("--input_path", required=True, help="fused.ply with normals")
+    c.add_argument("--output_path", required=True)
+    c.add_argument("--depth", type=int, default=8)
+    c.add_argument("--point_weight", type=float, default=1.0)
+    c.add_argument("--trim", type=float, default=3.0)
+    c.set_defaults(fn=_cmd_poisson_mesher)
+
+    c = sub.add_parser("delaunay_mesher")
+    c.add_argument("--input_path", required=True,
+                   help="dense workspace with fused.ply(.vis) and sparse/")
+    c.add_argument("--output_path", required=True)
+    c.add_argument("--quality_regularization", type=float, default=1.0)
+    c.set_defaults(fn=_cmd_delaunay_mesher)
 
     c = sub.add_parser("color_extractor")
     c.add_argument("--image_path", required=True)

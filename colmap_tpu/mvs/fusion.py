@@ -150,3 +150,32 @@ def fuse_depth_maps(
         np.concatenate(fused_normals),
         fused_vis,
     )
+
+
+def write_fused_vis(path, visibility):
+    """Write fused.ply.vis: per-point visible image indices.
+
+    reference format (mvs/fusion.cc WritePointsVisibility): uint64 count,
+    then per point uint32 n + n x uint32 image indices.
+    """
+    import struct
+
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(visibility)))
+        for ids in visibility:
+            arr = np.asarray(ids, dtype=np.uint32)
+            f.write(struct.pack("<I", len(arr)))
+            f.write(arr.tobytes())
+
+
+def read_fused_vis(path):
+    """Read fused.ply.vis -> list of uint32 arrays."""
+    import struct
+
+    with open(path, "rb") as f:
+        (n,) = struct.unpack("<Q", f.read(8))
+        out = []
+        for _ in range(n):
+            (m,) = struct.unpack("<I", f.read(4))
+            out.append(np.frombuffer(f.read(4 * m), dtype=np.uint32))
+    return out

@@ -1,0 +1,484 @@
+"""Surface meshing from oriented point clouds.
+
+reference behavior: src/colmap/mvs/poisson_meshing.{h,cc} wraps the vendored
+PoissonRecon (screened Poisson, octree FEM) and exposes
+PoissonMeshingOptions{depth, point_weight, trim, num_threads}. The TPU-native
+re-design replaces the octree multigrid — a deeply sequential, pointer-heavy
+structure — with a *regular-grid spectral Poisson solve*:
+
+  1. splat oriented normals into a vector field V on an N^3 voxel grid
+     (trilinear scatter, one fused XLA program),
+  2. solve the Poisson equation lap(chi) = div(V) by FFT — O(N^3 log N) with
+     perfectly regular compute that maps onto the TPU's transpose/matmul
+     units (jnp.fft.rfftn),
+  3. pick the iso level as the weighted mean of chi at the samples (the
+     classic Kazhdan'06 indicator normalization),
+  4. extract the iso-surface with vectorized naive surface nets (host
+     numpy) and trim vertices far from any input sample (the analogue of
+     PoissonRecon's SurfaceTrimmer --trim).
+
+Delaunay meshing (mvs/delaunay_meshing.{h,cc}: CGAL tetrahedralization +
+s-t min-cut over visibility rays) is re-built on scipy Qhull + a max-flow
+cut in delaunay_meshing().
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class PoissonMeshingOptions:
+    """reference: mvs/poisson_meshing.h:37-66."""
+
+    depth: int = 8  # grid = 2^depth voxels per side
+    point_weight: float = 1.0  # screening weight (blend toward samples)
+    trim: float = 3.0  # trim vertices farther than this many voxels from data
+    color: float = 32.0  # >0: propagate sample colors to vertices
+    padding: float = 1.1  # bounding-box scale (PoissonRecon --scale)
+
+
+def _poisson_indicator_jax(points01, normals, weights, grid_n, point_weight):
+    """Spectral Poisson solve for the indicator function on a regular grid.
+
+    points01: (P, 3) in [0, 1); normals (P, 3); weights (P,) sample weights.
+    Returns (chi (N, N, N), density (N, N, N)) as device arrays.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    N = grid_n
+    p = points01 * N - 0.5
+    base = jnp.floor(p)
+    frac = p - base
+    base = base.astype(jnp.int32)
+
+    # Trilinear splat of the normal field and the sample density.
+    V = jnp.zeros((3, N, N, N), dtype=jnp.float32)
+    W = jnp.zeros((N, N, N), dtype=jnp.float32)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w = (
+                    (frac[:, 0] if dx else 1 - frac[:, 0])
+                    * (frac[:, 1] if dy else 1 - frac[:, 1])
+                    * (frac[:, 2] if dz else 1 - frac[:, 2])
+                ) * weights
+                ix = jnp.clip(base[:, 0] + dx, 0, N - 1)
+                iy = jnp.clip(base[:, 1] + dy, 0, N - 1)
+                iz = jnp.clip(base[:, 2] + dz, 0, N - 1)
+                W = W.at[ix, iy, iz].add(w)
+                V = V.at[:, ix, iy, iz].add(normals.T * w[None, :])
+
+    # Smooth V slightly (B-spline-ish) to emulate the FEM basis support.
+    def blur(f):
+        for ax in (-3, -2, -1):
+            f = (jnp.roll(f, 1, ax) + 2.0 * f + jnp.roll(f, -1, ax)) / 4.0
+        return f
+
+    V = blur(V)
+    W_s = blur(W)
+
+    # Divergence by central differences (periodic; the padded bbox isolates
+    # the data from wrap-around).
+    div = (
+        (jnp.roll(V[0], -1, 0) - jnp.roll(V[0], 1, 0))
+        + (jnp.roll(V[1], -1, 1) - jnp.roll(V[1], 1, 1))
+        + (jnp.roll(V[2], -1, 2) - jnp.roll(V[2], 1, 2))
+    ) * 0.5
+
+    # FFT Poisson solve: eigenvalues of the 7-point Laplacian.
+    k = jnp.fft.fftfreq(N).astype(jnp.float32) * 2.0 * jnp.pi
+    kr = jnp.fft.rfftfreq(N).astype(jnp.float32) * 2.0 * jnp.pi
+    lam = (
+        (2.0 * jnp.cos(k) - 2.0)[:, None, None]
+        + (2.0 * jnp.cos(k) - 2.0)[None, :, None]
+        + (2.0 * jnp.cos(kr) - 2.0)[None, None, :]
+    )
+    div_hat = jnp.fft.rfftn(div)
+    # Screening: (lap - alpha) chi = div pulls chi toward 0 away from data;
+    # the iso offset below re-centers at the samples.
+    alpha = point_weight * 1e-4
+    chi_hat = div_hat / (lam - alpha)
+    chi = jnp.fft.irfftn(chi_hat, s=(N, N, N))
+
+    # Iso level: weighted mean of chi at the samples (trilinear gather).
+    num = jnp.zeros((), jnp.float32)
+    den = jnp.zeros((), jnp.float32)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w = (
+                    (frac[:, 0] if dx else 1 - frac[:, 0])
+                    * (frac[:, 1] if dy else 1 - frac[:, 1])
+                    * (frac[:, 2] if dz else 1 - frac[:, 2])
+                ) * weights
+                ix = jnp.clip(base[:, 0] + dx, 0, N - 1)
+                iy = jnp.clip(base[:, 1] + dy, 0, N - 1)
+                iz = jnp.clip(base[:, 2] + dz, 0, N - 1)
+                num = num + jnp.sum(chi[ix, iy, iz] * w)
+                den = den + jnp.sum(w)
+    iso = num / jnp.maximum(den, 1e-12)
+    return chi - iso, W_s
+
+
+def surface_nets(field, active_mask=None):
+    """Extract the zero iso-surface of field (N, N, N) with naive surface
+    nets — fully vectorized numpy; returns (vertices (V, 3) in grid coords,
+    faces (F, 3) int32, vertex_cells (V, 3) cell indices).
+
+    Marching-cubes-class output without the 256-case tables: one vertex per
+    sign-change cell at the mean of its edge crossings; one quad (two
+    triangles) per sign-change grid edge.
+    """
+    g = np.asarray(field, dtype=np.float32)
+    N = g.shape[0]
+    s = g > 0
+
+    # Active cells: any sign difference among the 8 corners.
+    c = s[:-1, :-1, :-1]
+    same = np.ones_like(c)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                same &= s[dx : N - 1 + dx, dy : N - 1 + dy, dz : N - 1 + dz] == c
+    active = ~same
+    if active_mask is not None:
+        active &= active_mask
+    cell_idx = np.full(active.shape, -1, dtype=np.int64)
+    ii, jj, kk = np.nonzero(active)
+    cell_idx[ii, jj, kk] = np.arange(len(ii))
+
+    # Vertex positions: average of edge crossings over the 12 cell edges.
+    corner = lambda dx, dy, dz: g[
+        ii + dx, jj + dy, kk + dz
+    ]  # noqa: E731
+    corners = {}
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                corners[(dx, dy, dz)] = corner(dx, dy, dz)
+    EDGES = [
+        ((0, 0, 0), (1, 0, 0)), ((0, 1, 0), (1, 1, 0)),
+        ((0, 0, 1), (1, 0, 1)), ((0, 1, 1), (1, 1, 1)),
+        ((0, 0, 0), (0, 1, 0)), ((1, 0, 0), (1, 1, 0)),
+        ((0, 0, 1), (0, 1, 1)), ((1, 0, 1), (1, 1, 1)),
+        ((0, 0, 0), (0, 0, 1)), ((1, 0, 0), (1, 0, 1)),
+        ((0, 1, 0), (0, 1, 1)), ((1, 1, 0), (1, 1, 1)),
+    ]
+    pos_sum = np.zeros((len(ii), 3), dtype=np.float64)
+    cnt = np.zeros(len(ii), dtype=np.float64)
+    for a, b in EDGES:
+        va, vb = corners[a], corners[b]
+        cross = (va > 0) != (vb > 0)
+        t = np.where(cross, va / np.where(va == vb, 1.0, va - vb), 0.0)
+        pa = np.asarray(a, dtype=np.float64)
+        pb = np.asarray(b, dtype=np.float64)
+        contrib = pa[None, :] + t[:, None] * (pb - pa)[None, :]
+        pos_sum += np.where(cross[:, None], contrib, 0.0)
+        cnt += cross
+    verts = np.stack([ii, jj, kk], axis=1) + pos_sum / np.maximum(cnt, 1)[:, None]
+
+    # Faces: for each interior grid edge with a sign change, the 4 cells
+    # sharing the edge form a quad; winding chosen so normals point from
+    # inside (field > 0) to outside (field < 0).
+    faces = []
+    E = N - 1  # interior node range for cross-edges
+
+    def quads(axis):
+        # Edge along `axis` from node n to n+e_axis; other two axes u, v.
+        if axis == 0:
+            n0 = s[: N - 1, 1:E, 1:E]
+            n1 = s[1:, 1:E, 1:E]
+            base_i, base_j, base_k = np.nonzero(n0 != n1)
+            bi, bj, bk = base_i, base_j + 1, base_k + 1
+            cells = [
+                (bi, bj - 1, bk - 1), (bi, bj, bk - 1),
+                (bi, bj, bk), (bi, bj - 1, bk),
+            ]
+            flip = n0[base_i, base_j, base_k]
+        elif axis == 1:
+            n0 = s[1:E, : N - 1, 1:E]
+            n1 = s[1:E, 1:, 1:E]
+            base_i, base_j, base_k = np.nonzero(n0 != n1)
+            bi, bj, bk = base_i + 1, base_j, base_k + 1
+            cells = [
+                (bi - 1, bj, bk - 1), (bi - 1, bj, bk),
+                (bi, bj, bk), (bi, bj, bk - 1),
+            ]
+            flip = n0[base_i, base_j, base_k]
+        else:
+            n0 = s[1:E, 1:E, : N - 1]
+            n1 = s[1:E, 1:E, 1:]
+            base_i, base_j, base_k = np.nonzero(n0 != n1)
+            bi, bj, bk = base_i + 1, base_j + 1, base_k
+            cells = [
+                (bi - 1, bj - 1, bk), (bi, bj - 1, bk),
+                (bi, bj, bk), (bi - 1, bj, bk),
+            ]
+            flip = n0[base_i, base_j, base_k]
+        q = np.stack([cell_idx[c] for c in cells], axis=1)
+        ok = (q >= 0).all(axis=1)
+        q, flip = q[ok], flip[ok]
+        qf = np.where(flip[:, None], q, q[:, ::-1])
+        tris = np.concatenate([qf[:, [0, 1, 2]], qf[:, [0, 2, 3]]], axis=0)
+        return tris
+
+    for ax in range(3):
+        t = quads(ax)
+        if len(t):
+            faces.append(t)
+    faces = (
+        np.concatenate(faces, axis=0).astype(np.int32)
+        if faces
+        else np.zeros((0, 3), np.int32)
+    )
+    cells = np.stack([ii, jj, kk], axis=1).astype(np.int32)
+    return verts.astype(np.float32), faces, cells
+
+
+def poisson_mesh(
+    points,
+    normals,
+    colors=None,
+    options: Optional[PoissonMeshingOptions] = None,
+):
+    """Reconstruct a triangle mesh from an oriented point cloud.
+
+    Returns (vertices (V, 3) world coords, faces (F, 3), colors or None).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if options is None:
+        options = PoissonMeshingOptions()
+    points = np.asarray(points, dtype=np.float64)
+    normals = np.asarray(normals, dtype=np.float64)
+    nrm = normals / np.maximum(np.linalg.norm(normals, axis=1, keepdims=True), 1e-12)
+
+    lo = points.min(axis=0)
+    hi = points.max(axis=0)
+    center = 0.5 * (lo + hi)
+    scale = float((hi - lo).max()) * options.padding
+    scale = max(scale, 1e-9)
+    p01 = (points - center) / scale + 0.5
+
+    N = 1 << options.depth
+    chi, density = _poisson_indicator_jax(
+        jnp.asarray(p01, jnp.float32),
+        jnp.asarray(nrm, jnp.float32),
+        jnp.ones((len(points),), jnp.float32),
+        N,
+        options.point_weight,
+    )
+    chi = np.asarray(chi)
+    density = np.asarray(density)
+
+    # Trim: only keep cells within `trim` voxels of observed data.
+    if options.trim > 0:
+        occ = density > 0
+        r = int(np.ceil(options.trim))
+        from scipy import ndimage
+
+        occ = ndimage.binary_dilation(occ, iterations=r)
+        active_mask = occ[:-1, :-1, :-1]
+    else:
+        active_mask = None
+
+    # The spectral solve yields chi < 0 inside; negate to the
+    # field > 0 = inside convention of surface_nets.
+    verts_g, faces, cells = surface_nets(-chi, active_mask)
+
+    # Drop unreferenced vertices.
+    used = np.zeros(len(verts_g), dtype=bool)
+    used[faces.ravel()] = True
+    remap = np.cumsum(used) - 1
+    verts_g = verts_g[used]
+    faces = remap[faces].astype(np.int32)
+
+    verts = ((verts_g + 0.5) / N - 0.5) * scale + center
+
+    vcolors = None
+    if colors is not None and options.color > 0 and len(verts):
+        from scipy.spatial import cKDTree
+
+        tree = cKDTree(points)
+        _, idx = tree.query(verts, k=1)
+        vcolors = np.asarray(colors)[idx]
+    return verts.astype(np.float32), faces, vcolors
+
+
+# ---------------------------------------------------------------------------
+# Delaunay meshing: tetrahedralization + visibility-driven s-t min cut.
+# reference: mvs/delaunay_meshing.{h,cc} (CGAL Delaunay_triangulation_3 +
+# boost BK max-flow over visibility rays). Re-built on scipy Qhull +
+# scipy.sparse.csgraph.maximum_flow; ray-tet traversal is replaced by
+# vectorized point-in-simplex queries at fixed samples along every ray.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class DelaunayMeshingOptions:
+    """reference: mvs/delaunay_meshing.h:44-87 (subset)."""
+
+    quality_regularization: float = 1.0  # smoothness on shared faces
+    max_side_length_factor: float = 25.0  # drop huge surface triangles
+    max_side_length_percentile: float = 95.0
+    num_ray_samples: int = 8  # free-space samples per visibility ray
+    visibility_sigma: float = 3.0  # ray vote weight
+
+
+def delaunay_meshing(
+    points,
+    visibility,
+    camera_centers,
+    options: Optional[DelaunayMeshingOptions] = None,
+):
+    """Mesh a point cloud using visibility information.
+
+    Args:
+        points: (P, 3) fused/sparse points.
+        visibility: list of int arrays — image ids observing each point.
+        camera_centers: dict image_id -> (3,) projection center.
+
+    Returns (vertices (P, 3), faces (F, 3) int32) — faces index `points`.
+    """
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import maximum_flow
+    from scipy.spatial import Delaunay
+
+    if options is None:
+        options = DelaunayMeshingOptions()
+    points = np.asarray(points, dtype=np.float64)
+    P = len(points)
+    tri = Delaunay(points)
+    T = len(tri.simplices)
+
+    # Visibility rays -> (point_idx, camera_center) pairs.
+    ray_p = []
+    ray_c = []
+    for i, ids in enumerate(visibility):
+        for iid in np.asarray(ids).ravel():
+            c = camera_centers.get(int(iid))
+            if c is not None:
+                ray_p.append(i)
+                ray_c.append(c)
+    source_votes = np.zeros(T, dtype=np.float64)
+    sink_votes = np.zeros(T, dtype=np.float64)
+    if ray_p:
+        ray_p = np.asarray(ray_p)
+        ray_c = np.asarray(ray_c, dtype=np.float64)
+        p = points[ray_p]
+        d = p - ray_c
+        # Free-space samples strictly between camera and point.
+        S = options.num_ray_samples
+        ts = (np.arange(1, S + 1) / (S + 1.0))[None, :, None]
+        samples = ray_c[:, None, :] + ts * d[:, None, :]
+        simp = tri.find_simplex(samples.reshape(-1, 3)).reshape(-1, S)
+        w = options.visibility_sigma
+        for s in range(S):
+            valid = simp[:, s] >= 0
+            np.add.at(source_votes, simp[valid, s], w / S)
+        # Just behind the point along the ray: inside evidence.
+        behind = p + 0.01 * d / np.maximum(
+            np.linalg.norm(d, axis=1, keepdims=True), 1e-12
+        ) * np.linalg.norm(d, axis=1, keepdims=True) * 0.05
+        sb = tri.find_simplex(behind)
+        valid = sb >= 0
+        np.add.at(sink_votes, sb[valid], w)
+
+    # Hull-adjacent cells are outside.
+    hull_cells = (tri.neighbors == -1).any(axis=1)
+    source_votes[hull_cells] += 10.0 * options.visibility_sigma
+
+    # Build the flow network: 0 = source, 1 + t = tet t, 1 + T = sink.
+    lam = options.quality_regularization
+    rows, cols, caps = [], [], []
+    SCALE = 1000.0
+
+    def add_edge(u, v, c):
+        rows.append(u)
+        cols.append(v)
+        caps.append(int(min(c * SCALE, 2**30)))
+
+    for t in range(T):
+        if source_votes[t] > 0:
+            add_edge(0, 1 + t, source_votes[t])
+        if sink_votes[t] > 0:
+            add_edge(1 + t, 1 + T, sink_votes[t])
+    # Smoothness between neighboring tets (both directions).
+    nb = tri.neighbors
+    for f in range(4):
+        mask = nb[:, f] >= 0
+        src = np.nonzero(mask)[0]
+        dst = nb[mask, f]
+        keep = src < dst
+        for a, b in zip(src[keep], dst[keep]):
+            add_edge(1 + a, 1 + b, lam)
+            add_edge(1 + b, 1 + a, lam)
+
+    n_nodes = T + 2
+    graph = coo_matrix(
+        (np.asarray(caps, dtype=np.int32), (rows, cols)),
+        shape=(n_nodes, n_nodes),
+    ).tocsr()
+    res = maximum_flow(graph, 0, 1 + T)
+    residual = graph - res.flow
+    # Min-cut: nodes reachable from source in the residual graph = outside.
+    from scipy.sparse.csgraph import breadth_first_order
+
+    residual.data = np.maximum(residual.data, 0)
+    residual.eliminate_zeros()
+    order = breadth_first_order(residual, 0, directed=True, return_predecessors=False)
+    outside = np.zeros(n_nodes, dtype=bool)
+    outside[order] = True
+    label_out = outside[1 : 1 + T]
+
+    # Surface: faces between an outside tet and an inside (or none) tet.
+    faces = []
+    owner = []
+    FACE_VERTS = [(1, 2, 3), (0, 3, 2), (0, 1, 3), (0, 2, 1)]  # opposite of v f
+    for t in range(T):
+        if not label_out[t]:
+            continue
+        for f in range(4):
+            n = nb[t, f]
+            if n >= 0 and label_out[n]:
+                continue
+            tri_ids = tri.simplices[t, list(FACE_VERTS[f])]
+            faces.append(tri_ids)
+            owner.append(t)
+    faces = (
+        np.asarray(faces, dtype=np.int32)
+        if faces
+        else np.zeros((0, 3), np.int32)
+    )
+    if len(faces):
+        # Qhull simplices are not consistently oriented: flip each face so
+        # its normal points toward the outside tet (air side).
+        owner = np.asarray(owner)
+        cent_t = points[tri.simplices[owner]].mean(axis=1)
+        a, b, c = points[faces[:, 0]], points[faces[:, 1]], points[faces[:, 2]]
+        nrm = np.cross(b - a, c - a)
+        to_out = cent_t - (a + b + c) / 3.0
+        flip = np.einsum("ij,ij->i", nrm, to_out) > 0
+        faces[flip] = faces[flip][:, ::-1]
+
+    # Drop oversized triangles (hull artifacts), à la max_side_length_*.
+    if len(faces):
+        e = points[faces]
+        side = np.maximum(
+            np.linalg.norm(e[:, 0] - e[:, 1], axis=1),
+            np.maximum(
+                np.linalg.norm(e[:, 1] - e[:, 2], axis=1),
+                np.linalg.norm(e[:, 2] - e[:, 0], axis=1),
+            ),
+        )
+        ref = np.percentile(side, options.max_side_length_percentile)
+        faces = faces[side <= options.max_side_length_factor * ref / 5.0]
+
+    return points.astype(np.float32), faces

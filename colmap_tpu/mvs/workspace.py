@@ -191,4 +191,7 @@ def run_fusion_workspace(
         )
     pts, normals, vis = fuse_depth_maps(images, fusion_options or FusionOptions())
     write_ply(output_path, pts, normals)
+    from colmap_tpu.mvs.fusion import write_fused_vis
+
+    write_fused_vis(output_path + ".vis", vis)
     return pts, normals, vis
