@@ -389,6 +389,19 @@ def _cmd_delaunay_mesher(args):
     print(f"Meshed {len(verts)} vertices, {len(faces)} faces -> {args.output_path}")
 
 
+def _cmd_mesh_simplifier(args):
+    from colmap_tpu.mvs.simplification import simplify_mesh
+    from colmap_tpu.utils.ply import read_ply_mesh, write_ply_mesh
+
+    m = read_ply_mesh(args.input_path)
+    verts, faces = simplify_mesh(m["vertices"], m["faces"], args.factor)
+    write_ply_mesh(args.output_path, verts, faces)
+    print(
+        f"Simplified {len(m['faces'])} -> {len(faces)} faces "
+        f"({len(verts)} vertices) -> {args.output_path}"
+    )
+
+
 def _cmd_color_extractor(args):
     from PIL import Image as PILImage
 
@@ -688,6 +701,13 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--output_path", required=True)
     c.add_argument("--quality_regularization", type=float, default=1.0)
     c.set_defaults(fn=_cmd_delaunay_mesher)
+
+    c = sub.add_parser("mesh_simplifier")
+    c.add_argument("--input_path", required=True)
+    c.add_argument("--output_path", required=True)
+    c.add_argument("--factor", type=float, default=0.1,
+                   help="fraction of faces to keep")
+    c.set_defaults(fn=_cmd_mesh_simplifier)
 
     c = sub.add_parser("color_extractor")
     c.add_argument("--image_path", required=True)

@@ -149,3 +149,36 @@ def test_poisson_mesher_cli(tmp_path):
     assert len(m["vertices"]) > 1000
     r = np.linalg.norm(m["vertices"], axis=1)
     assert abs(r.mean() - 1.0) < 0.02
+
+
+def test_simplify_mesh_quadric():
+    from colmap_tpu.mvs.simplification import _load, simplify_mesh
+
+    rng = np.random.default_rng(4)
+    pts, nrm = _sphere_points(rng, 6000)
+    verts, faces, _ = poisson_mesh(
+        pts, nrm, options=PoissonMeshingOptions(depth=6, trim=3)
+    )
+    sv, sf = simplify_mesh(verts, faces, 0.1)
+    assert len(sf) <= len(faces) * 0.12
+    r = np.linalg.norm(sv, axis=1)
+    assert abs(r.mean() - 1.0) < 0.02
+    a, b, c = sv[sf[:, 0]], sv[sf[:, 1]], sv[sf[:, 2]]
+    vol = np.einsum("ij,ij->i", a.astype(float), np.cross(b, c)).sum() / 6.0
+    assert abs(vol - 4.19) < 0.3
+
+
+def test_simplify_mesh_fallback_clustering():
+    from colmap_tpu.mvs import simplification
+
+    rng = np.random.default_rng(5)
+    pts, nrm = _sphere_points(rng, 4000)
+    verts, faces, _ = poisson_mesh(
+        pts, nrm, options=PoissonMeshingOptions(depth=6, trim=3)
+    )
+    sv, sf = simplification._cluster_simplify(
+        verts.astype(np.float64), faces.astype(np.int64), len(faces) // 10
+    )
+    assert 0 < len(sf) < len(faces)
+    r = np.linalg.norm(sv, axis=1)
+    assert abs(r.mean() - 1.0) < 0.05
