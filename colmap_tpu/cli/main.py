@@ -389,6 +389,43 @@ def _cmd_delaunay_mesher(args):
     print(f"Meshed {len(verts)} vertices, {len(faces)} faces -> {args.output_path}")
 
 
+def _cmd_mesh_texturer(args):
+    from PIL import Image as PILImage
+
+    from colmap_tpu.mvs.texturing import (
+        TextureMappingOptions,
+        texture_mesh,
+        write_obj,
+    )
+    from colmap_tpu.mvs.workspace import _pinhole_K
+    from colmap_tpu.scene.reconstruction_io import read_model
+    from colmap_tpu.utils.ply import read_ply_mesh
+
+    m = read_ply_mesh(args.input_path)
+    recon = read_model(args.sparse_path)
+    views = []
+    images = {}
+    for iid in recon.reg_image_ids():
+        img = recon.images[iid]
+        cam = recon.cameras[img.camera_id]
+        pose = recon.cam_from_world(iid)
+        ipath = os.path.join(args.image_path, img.name)
+        if not os.path.exists(ipath):
+            continue
+        images[iid] = np.asarray(PILImage.open(ipath).convert("RGB"))
+        views.append({
+            "K": _pinhole_K(cam), "R": pose.rotmat(), "t": np.asarray(pose.t),
+            "width": cam.width, "height": cam.height, "image_key": iid,
+        })
+    options = TextureMappingOptions(patch_size=args.patch_size)
+    atlas, uvs, labels = texture_mesh(
+        m["vertices"], m["faces"], views, images, options
+    )
+    write_obj(args.output_path, m["vertices"], m["faces"], uvs, atlas)
+    n_tex = int((labels >= 0).sum())
+    print(f"Textured {n_tex}/{len(m['faces'])} faces -> {args.output_path}")
+
+
 def _cmd_mesh_simplifier(args):
     from colmap_tpu.mvs.simplification import simplify_mesh
     from colmap_tpu.utils.ply import read_ply_mesh, write_ply_mesh
@@ -701,6 +738,14 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--output_path", required=True)
     c.add_argument("--quality_regularization", type=float, default=1.0)
     c.set_defaults(fn=_cmd_delaunay_mesher)
+
+    c = sub.add_parser("mesh_texturer")
+    c.add_argument("--input_path", required=True, help="mesh PLY")
+    c.add_argument("--sparse_path", required=True)
+    c.add_argument("--image_path", required=True)
+    c.add_argument("--output_path", required=True, help="output OBJ")
+    c.add_argument("--patch_size", type=int, default=16)
+    c.set_defaults(fn=_cmd_mesh_texturer)
 
     c = sub.add_parser("mesh_simplifier")
     c.add_argument("--input_path", required=True)
