@@ -63,6 +63,8 @@ def run_feature_extraction(
 
     Returns the list of image ids.
     """
+    from colmap_tpu.utils.exif import read_exif
+
     if image_names is None:
         image_names = sorted(
             f
@@ -73,11 +75,21 @@ def run_feature_extraction(
     camera_id = None
     image_ids = []
     for name in image_names:
-        img = _load_image_gray(os.path.join(image_dir, name))
+        path = os.path.join(image_dir, name)
+        img = _load_image_gray(path)
         h, w = img.shape
         if camera_id is None or not reader_options.single_camera:
-            focal = reader_options.default_focal_length_factor * max(w, h)
+            # EXIF focal (35mm-equivalent or mm + sensor-width lookup),
+            # falling back to the default factor — reference:
+            # controllers/image_reader.cc camera init + sensor/specs.*.
+            from colmap_tpu.sensor.specs import focal_length_px_from_exif
+
+            exif = read_exif(path)
+            focal, has_prior = focal_length_px_from_exif(
+                exif, w, h, reader_options.default_focal_length_factor
+            )
             cam = Camera.create(0, model_id, focal, w, h)
+            cam.has_prior_focal_length = has_prior
             if reader_options.camera_params:
                 cam.params = np.array(
                     [float(v) for v in reader_options.camera_params.split(",")]
@@ -92,6 +104,18 @@ def run_feature_extraction(
                 use_camera_id=False,
             )
         image_id = database.write_image(name, camera_id)
+        # EXIF GPS -> WGS84 pose prior (reference: image_reader.cc pose
+        # prior from GPS, coordinate_system=WGS84 which is enum value 0).
+        exif_gps = read_exif(path)
+        if "latitude" in exif_gps and "longitude" in exif_gps:
+            database.write_pose_prior(
+                image_id,
+                position=np.array([
+                    exif_gps["latitude"], exif_gps["longitude"],
+                    exif_gps.get("altitude", 0.0),
+                ]),
+                coordinate_system=0,  # WGS84
+            )
         kp, desc = extract_sift(img, sift_options)
         # DB keypoint blob: x, y, scale, orientation (4-col format).
         database.write_keypoints(image_id, kp[:, :4])
