@@ -324,7 +324,9 @@ def _cmd_patch_match_stereo(args):
             images[iid] = (
                 np.asarray(PILImage.open(p).convert("L"), dtype=np.float32) / 255.0
             )
-    problems = run_patch_match_workspace(recon, images, ws)
+    problems = run_patch_match_workspace(
+        recon, images, ws, geom_consistency=args.geom_consistency
+    )
     print(f"PatchMatch: processed {len(problems)} reference images")
 
 
@@ -715,6 +717,8 @@ def build_parser() -> argparse.ArgumentParser:
     c.set_defaults(fn=_cmd_image_undistorter)
 
     c = sub.add_parser("patch_match_stereo")
+    c.add_argument("--geom_consistency", action="store_true",
+                   help="second pass with geometric-consistency cost")
     c.add_argument("--workspace_path", required=True)
     c.set_defaults(fn=_cmd_patch_match_stereo)
 

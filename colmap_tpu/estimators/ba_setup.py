@@ -140,3 +140,142 @@ def update_reconstruction(recon: Reconstruction, problem: BAProblem, index: Dict
     pts = np.asarray(problem.points, dtype=np.float64)
     for row, pid in enumerate(index["point_ids"]):
         recon.points3D[pid].xyz = pts[row]
+
+
+def rig_problem_from_reconstruction(
+    recon: Reconstruction,
+    frame_ids: Optional[List[int]] = None,
+    point_ids: Optional[List[int]] = None,
+    dtype=None,
+):
+    """Pack a reconstruction with non-trivial rigs into RigBAProblem arrays.
+
+    Frames carry rig_from_world; each (rig_id, sensor) pair gets one
+    sensor_from_rig row (reference sensors are identity and masked
+    constant by the solver's default masks).
+
+    Returns (problem, index) with index keys: frame_ids, sensor_keys
+    (list of (rig_id, sensor)), camera_ids, point_ids, model_id,
+    ref_sensor_rows.
+    """
+    from colmap_tpu.estimators.bundle_adjustment_rig import RigBAProblem
+    from colmap_tpu.scene.types import SensorType
+
+    if dtype is None:
+        dtype = floatx()
+    if frame_ids is None:
+        frame_ids = recon.reg_frame_ids()
+    frame_ids = list(frame_ids)
+    frame_row = {fid: i for i, fid in enumerate(frame_ids)}
+
+    # Enumerate (rig, sensor) pairs present in the selected frames.
+    sensor_keys: List[Tuple[int, Tuple[int, int]]] = []
+    sensor_row: Dict[Tuple[int, Tuple[int, int]], int] = {}
+    ref_rows: List[int] = []
+    image_rows = []  # (image_id, frame_row, sensor_row, camera_id)
+    for fid in frame_ids:
+        frame = recon.frames[fid]
+        rig = recon.rigs[frame.rig_id]
+        for iid in frame.image_ids():
+            image = recon.images[iid]
+            sensor = (int(SensorType.CAMERA), image.camera_id)
+            key = (frame.rig_id, sensor)
+            if key not in sensor_row:
+                sensor_row[key] = len(sensor_keys)
+                sensor_keys.append(key)
+                if rig.is_ref_sensor(sensor):
+                    ref_rows.append(sensor_row[key])
+            image_rows.append((iid, frame_row[fid], sensor_row[key], image.camera_id))
+
+    camera_ids = sorted({c for (_, _, _, c) in image_rows})
+    cam_row = {cid: i for i, cid in enumerate(camera_ids)}
+    model_ids = {recon.cameras[c].model_id for c in camera_ids}
+    if len(model_ids) != 1:
+        raise NotImplementedError("mixed camera models per problem not supported")
+    model_id = model_ids.pop()
+
+    if point_ids is None:
+        pid_set = set()
+        for (iid, _, _, _) in image_rows:
+            for pid in recon.images[iid].points2D_p3d:
+                if pid != INVALID_POINT3D:
+                    pid_set.add(int(pid))
+        point_ids = sorted(pid_set)
+    pt_row = {pid: i for i, pid in enumerate(point_ids)}
+
+    quat = np.stack([recon.frames[f].rig_from_world.quat for f in frame_ids])
+    t = np.stack([recon.frames[f].rig_from_world.t for f in frame_ids])
+    sq, st = [], []
+    for (rig_id, sensor) in sensor_keys:
+        pose = recon.rigs[rig_id].sensor_from_rig(sensor)
+        sq.append(pose.quat)
+        st.append(pose.t)
+    cam_params = np.stack([recon.cameras[c].params for c in camera_ids])
+    points = (
+        np.stack([recon.points3D[p].xyz for p in point_ids])
+        if point_ids else np.zeros((0, 3))
+    )
+
+    obs_frame, obs_sensor, obs_cam, obs_point, obs_xy = [], [], [], [], []
+    for (iid, fr, sr, cid) in image_rows:
+        image = recon.images[iid]
+        for p2d_idx, pid in enumerate(image.points2D_p3d):
+            if pid == INVALID_POINT3D or int(pid) not in pt_row:
+                continue
+            obs_frame.append(fr)
+            obs_sensor.append(sr)
+            obs_cam.append(cam_row[cid])
+            obs_point.append(pt_row[int(pid)])
+            obs_xy.append(image.points2D_xy[p2d_idx])
+
+    n_obs = len(obs_frame)
+    problem = RigBAProblem(
+        quat=jnp.asarray(quat, dtype=dtype),
+        t=jnp.asarray(t, dtype=dtype),
+        sensor_quat=jnp.asarray(np.stack(sq), dtype=dtype),
+        sensor_t=jnp.asarray(np.stack(st), dtype=dtype),
+        cam_params=jnp.asarray(cam_params, dtype=dtype),
+        points=jnp.asarray(points, dtype=dtype),
+        obs_frame=jnp.asarray(np.asarray(obs_frame, np.int32)),
+        obs_sensor=jnp.asarray(np.asarray(obs_sensor, np.int32)),
+        obs_cam=jnp.asarray(np.asarray(obs_cam, np.int32)),
+        obs_point=jnp.asarray(np.asarray(obs_point, np.int32)),
+        obs_xy=jnp.asarray(np.asarray(obs_xy, np.float64).reshape(n_obs, 2), dtype=dtype),
+        obs_w=jnp.ones(n_obs, dtype=dtype),
+    )
+    index = {
+        "frame_ids": frame_ids,
+        "sensor_keys": sensor_keys,
+        "camera_ids": camera_ids,
+        "point_ids": list(point_ids),
+        "model_id": int(model_id),
+        "ref_sensor_rows": ref_rows,
+    }
+    return problem, index
+
+
+def update_reconstruction_rig(recon: Reconstruction, problem, index: Dict):
+    """Write back rig-aware BA results: frame poses, sensor_from_rig,
+    intrinsics, points."""
+    for row, fid in enumerate(index["frame_ids"]):
+        pose = Pose(
+            np.asarray(problem.quat[row], dtype=np.float64),
+            np.asarray(problem.t[row], dtype=np.float64),
+        )
+        recon.frames[fid].rig_from_world = pose.normalize()
+    for row, (rig_id, sensor) in enumerate(index["sensor_keys"]):
+        rig = recon.rigs[rig_id]
+        if rig.is_ref_sensor(sensor):
+            continue
+        rig.sensors[tuple(sensor)] = Pose(
+            np.asarray(problem.sensor_quat[row], dtype=np.float64),
+            np.asarray(problem.sensor_t[row], dtype=np.float64),
+        ).normalize()
+    for row, cid in enumerate(index["camera_ids"]):
+        n = len(recon.cameras[cid].params)
+        recon.cameras[cid].params = np.asarray(
+            problem.cam_params[row][:n], dtype=np.float64
+        )
+    pts = np.asarray(problem.points, dtype=np.float64)
+    for row, pid in enumerate(index["point_ids"]):
+        recon.points3D[pid].xyz = pts[row]

@@ -58,6 +58,10 @@ class PatchMatchProblem(NamedTuple):
     # Relative transforms: x_src = R x_ref + t.
     R_rel: jnp.ndarray  # (S, 3, 3)
     t_rel: jnp.ndarray  # (S, 3)
+    # Source depth maps from a previous photometric pass; enables the
+    # geometric-consistency term (reference: patch_match_cuda.cu:601
+    # ComputeGeomConsistencyCost). None = photometric-only.
+    src_depths: Optional[jnp.ndarray] = None  # (S, H, W)
 
 
 def _bilinear(img, y, x):
@@ -174,6 +178,42 @@ def _compute_cost(problem: PatchMatchProblem, depth, normal, options: PatchMatch
         frac_valid = jnp.sum(w_eff, axis=0) / w_sum
         cost = 1.0 - jnp.clip(ncc, -1.0, 1.0)
         cost = jnp.where(frac_valid > 0.5, cost, 2.0)
+
+        if problem.src_depths is not None:
+            # Geometric consistency: forward-backward reprojection error of
+            # the center pixel through the source view's own depth map
+            # (reference: ComputeGeomConsistencyCost, patch_match_cuda.cu:601).
+            X = ray0 * depth[..., None]
+            Xs = jnp.einsum("ij,...j->...i", Rr, X) + tr
+            ps = jnp.einsum("ij,...j->...i", Ks, Xs)
+            z = jnp.where(jnp.abs(ps[..., 2]) < 1e-8, 1e-8, ps[..., 2])
+            sx = ps[..., 0] / z
+            sy = ps[..., 1] / z
+            inb = (
+                (sx >= 0) & (sx <= W - 1) & (sy >= 0) & (sy <= H - 1)
+                & (ps[..., 2] > 0)
+            )
+            d_src = _bilinear(
+                problem.src_depths[s],
+                jnp.clip(sy, 0, H - 1), jnp.clip(sx, 0, W - 1),
+            )
+            Kinv_s = jnp.linalg.inv(Ks)
+            p_src = jnp.stack([sx, sy, jnp.ones_like(sx)], axis=-1)
+            X_src = jnp.einsum("ij,...j->...i", Kinv_s, p_src) * d_src[..., None]
+            X_back = jnp.einsum("ji,...j->...i", Rr, X_src - tr)
+            p_back = jnp.einsum("ij,...j->...i", problem.K_ref, X_back)
+            zb = jnp.where(jnp.abs(p_back[..., 2]) < 1e-8, 1e-8, p_back[..., 2])
+            bx = p_back[..., 0] / zb
+            by = p_back[..., 1] / zb
+            err = jnp.sqrt((bx - gx) ** 2 + (by - gy) ** 2)
+            geom_ok = inb & (d_src > 0) & (p_back[..., 2] > 0)
+            geom_cost = jnp.where(
+                geom_ok,
+                jnp.minimum(err, options.geom_consistency_max_cost),
+                options.geom_consistency_max_cost,
+            )
+            cost = cost + options.geom_consistency_weight * geom_cost
+
         costs.append(cost)
 
     cost_all = jnp.stack(costs)  # (S, H, W)

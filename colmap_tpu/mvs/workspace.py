@@ -94,25 +94,35 @@ def run_patch_match_workspace(
     options: Optional[PatchMatchOptions] = None,
     max_num_src_images: int = 5,
     problems: Optional[List[PatchMatchProblemSpec]] = None,
+    geom_consistency: bool = False,
 ) -> List[PatchMatchProblemSpec]:
-    """Run photometric PatchMatch for every reference image and write
-    COLMAP-format depth/normal maps under output_dir/stereo/.
+    """Run PatchMatch for every reference image and write COLMAP-format
+    depth/normal maps under output_dir/stereo/.
 
     images: {image_id: (H, W) grayscale float [0,1]} — undistorted
     (PINHOLE) images matching the reconstruction's cameras.
+
+    With geom_consistency=True a second pass re-optimizes every image with
+    the forward-backward reprojection term against the neighbors'
+    first-pass depth maps and writes *.geometric.bin
+    (reference: PatchMatchController photometric then geometric pass,
+    mvs/patch_match.cc:170-207).
     """
     import jax.numpy as jnp
+
+    from colmap_tpu.mvs.depth_map import read_map
 
     os.makedirs(os.path.join(output_dir, "stereo", "depth_maps"), exist_ok=True)
     os.makedirs(os.path.join(output_dir, "stereo", "normal_maps"), exist_ok=True)
     if problems is None:
         problems = select_patch_match_problems(recon, max_num_src_images)
-    for spec in problems:
+
+    def build_problem(spec, src_depth_lookup=None):
         ref_img = recon.images[spec.ref_image_id]
         ref_cam = recon.cameras[ref_img.camera_id]
         ref_pose = recon.cam_from_world(spec.ref_image_id)
         K_ref = _pinhole_K(ref_cam)
-        srcs, K_srcs, R_rels, t_rels = [], [], [], []
+        srcs, K_srcs, R_rels, t_rels, s_depths = [], [], [], [], []
         for sid in spec.src_image_ids:
             if sid not in images:
                 continue
@@ -120,12 +130,17 @@ def run_patch_match_workspace(
             s_cam = recon.cameras[s_img.camera_id]
             s_pose = recon.cam_from_world(sid)
             rel = s_pose.compose(ref_pose.inverse())
+            if src_depth_lookup is not None:
+                d = src_depth_lookup(s_img.name)
+                if d is None:
+                    continue
+                s_depths.append(d)
             srcs.append(images[sid])
             K_srcs.append(_pinhole_K(s_cam))
             R_rels.append(rel.rotmat())
             t_rels.append(rel.t)
         if not srcs:
-            continue
+            return None, None
         problem = PatchMatchProblem(
             ref_image=jnp.asarray(images[spec.ref_image_id], dtype=jnp.float32),
             src_images=jnp.asarray(np.stack(srcs), dtype=jnp.float32),
@@ -133,26 +148,54 @@ def run_patch_match_workspace(
             K_src=jnp.asarray(np.stack(K_srcs), dtype=jnp.float32),
             R_rel=jnp.asarray(np.stack(R_rels), dtype=jnp.float32),
             t_rel=jnp.asarray(np.stack(t_rels), dtype=jnp.float32),
+            src_depths=(
+                jnp.asarray(np.stack(s_depths), dtype=jnp.float32)
+                if src_depth_lookup is not None
+                else None
+            ),
         )
-        opts = options or PatchMatchOptions()
-        opts = dataclasses.replace(
-            opts, depth_min=spec.depth_min, depth_max=spec.depth_max
-        )
-        depth, normal, cost = patch_match(problem, opts)
-        # Photometric filtering (reference: min_ncc).
-        ncc = 1.0 - cost
-        depth = np.where(ncc >= opts.filter_min_ncc, depth, 0.0)
-        name = ref_img.name
-        write_map(
-            os.path.join(output_dir, "stereo", "depth_maps",
-                         f"{name}.photometric.bin"),
-            depth,
-        )
-        write_map(
-            os.path.join(output_dir, "stereo", "normal_maps",
-                         f"{name}.photometric.bin"),
-            normal,
-        )
+        return problem, ref_img.name
+
+    def run_pass(suffix, src_depth_lookup=None):
+        for spec in problems:
+            problem, name = build_problem(spec, src_depth_lookup)
+            if problem is None:
+                continue
+            opts = options or PatchMatchOptions()
+            opts = dataclasses.replace(
+                opts, depth_min=spec.depth_min, depth_max=spec.depth_max
+            )
+            depth, normal, cost = patch_match(problem, opts)
+            # Filtering (reference: min_ncc; geometric pass additionally
+            # bounds the consistency term, filter_geom_consistency_max_cost).
+            if src_depth_lookup is None:
+                depth = np.where(1.0 - cost >= opts.filter_min_ncc, depth, 0.0)
+            else:
+                max_total = (1.0 - opts.filter_min_ncc) + (
+                    opts.geom_consistency_weight
+                    * opts.filter_geom_consistency_max_cost
+                )
+                depth = np.where(cost <= max_total, depth, 0.0)
+            write_map(
+                os.path.join(output_dir, "stereo", "depth_maps",
+                             f"{name}.{suffix}.bin"),
+                depth,
+            )
+            write_map(
+                os.path.join(output_dir, "stereo", "normal_maps",
+                             f"{name}.{suffix}.bin"),
+                normal,
+            )
+
+    run_pass("photometric")
+    if geom_consistency:
+        depth_dir = os.path.join(output_dir, "stereo", "depth_maps")
+
+        def lookup(name):
+            p = os.path.join(depth_dir, f"{name}.photometric.bin")
+            return read_map(p) if os.path.exists(p) else None
+
+        run_pass("geometric", lookup)
     return problems
 
 
@@ -174,13 +217,20 @@ def run_fusion_workspace(
     images = []
     for iid in recon.reg_image_ids():
         img = recon.images[iid]
-        dpath = os.path.join(
-            workspace_dir, "stereo", "depth_maps", f"{img.name}.photometric.bin"
-        )
-        npath = os.path.join(
-            workspace_dir, "stereo", "normal_maps", f"{img.name}.photometric.bin"
-        )
-        if not (os.path.exists(dpath) and os.path.exists(npath)):
+        # Prefer geometric-consistency maps when present (reference:
+        # StereoFusion input_type geometric default).
+        dpath = npath = None
+        for suffix in ("geometric", "photometric"):
+            d = os.path.join(
+                workspace_dir, "stereo", "depth_maps", f"{img.name}.{suffix}.bin"
+            )
+            n = os.path.join(
+                workspace_dir, "stereo", "normal_maps", f"{img.name}.{suffix}.bin"
+            )
+            if os.path.exists(d) and os.path.exists(n):
+                dpath, npath = d, n
+                break
+        if dpath is None:
             continue
         depth = read_map(dpath)
         normal = read_map(npath)

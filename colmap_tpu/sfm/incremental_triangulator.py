@@ -39,6 +39,10 @@ class TriangulatorOptions:
     min_focal_length_ratio: float = 0.1
     max_focal_length_ratio: float = 10.0
     max_extra_param: float = 1.0
+    # RANSAC over view pairs at creation (reference:
+    # estimators/triangulation.h EstimateTriangulation); plain N-view DLT
+    # when disabled.
+    robust_creation: bool = True
 
 
 class IncrementalTriangulator:
@@ -177,17 +181,59 @@ class IncrementalTriangulator:
             proj_arr[b, :v] = np.stack(projs)
             uv_arr[b, :v] = np.stack(uvs)
             mask_arr[b, :v] = 1.0
-        X = np.asarray(
-            triangulate_multi_view(
-                jnp.asarray(proj_arr), jnp.asarray(uv_arr), jnp.asarray(mask_arr)
+        robust_inl = None
+        if options.robust_creation:
+            import jax as _jax
+
+            from colmap_tpu.estimators.triangulation import (
+                TriangulationOptions as _TriOpts,
+                estimate_triangulation as _est_tri,
             )
-        )
+
+            tri_opts = _TriOpts(
+                min_tri_angle_deg=options.min_angle_deg,
+                max_angular_error_deg=options.create_max_angle_error_deg,
+            )
+            out = _jax.vmap(
+                lambda a, b_, c, d: _est_tri(a, b_, c, d, tri_opts)
+            )(
+                jnp.asarray(proj_arr[:, :, :, :3]),
+                jnp.asarray(proj_arr[:, :, :, 3]),
+                jnp.asarray(uv_arr),
+                jnp.asarray(mask_arr) > 0,
+            )
+            X = np.asarray(out["xyz"])
+            robust_inl = np.asarray(out["inlier_mask"])
+            robust_ok = np.asarray(out["success"])
+        else:
+            X = np.asarray(
+                triangulate_multi_view(
+                    jnp.asarray(proj_arr), jnp.asarray(uv_arr), jnp.asarray(mask_arr)
+                )
+            )
 
         num_created = 0
         for b, (p2d_idx, elements, projs, uvs, centers) in enumerate(rows):
             Xb = X[b]
             if not np.all(np.isfinite(Xb)):
                 continue
+            if robust_inl is not None:
+                if not robust_ok[b]:
+                    continue
+                # Drop observations rejected by the pairwise RANSAC.
+                kept = [
+                    (el, proj, uv, center)
+                    for v, (el, proj, uv, center) in enumerate(
+                        zip(elements, projs, uvs, centers)
+                    )
+                    if robust_inl[b, v]
+                ]
+                if len(kept) < 2:
+                    continue
+                elements = [k[0] for k in kept]
+                projs = [k[1] for k in kept]
+                uvs = [k[2] for k in kept]
+                centers = [k[3] for k in kept]
             # Cheirality + reprojection + angle checks per element.
             ok_elements = []
             for el, proj, uv, center in zip(elements, projs, uvs, centers):

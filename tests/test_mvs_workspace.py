@@ -97,3 +97,26 @@ def test_dense_workspace_end_to_end(tmp_path):
     # Fused points lie on the plane z = depth0.
     assert abs(np.median(pts[:, 2]) - depth0) / depth0 < 0.03
     assert os.path.exists(out_ply)
+
+
+def test_dense_workspace_geom_consistency(tmp_path):
+    """Two-pass PatchMatch: the geometric pass must produce *.geometric.bin
+    maps at least as accurate as the photometric pass on the plane scene
+    (reference: PatchMatchController geometric pass, mvs/patch_match.cc)."""
+    recon, images, depth0 = _plane_workspace()
+    ws = str(tmp_path)
+    options = PatchMatchOptions(num_iterations=4, window_radius=3)
+    run_patch_match_workspace(recon, images, ws, options, geom_consistency=True)
+    from colmap_tpu.mvs.depth_map import read_map
+
+    dg = read_map(os.path.join(ws, "stereo", "depth_maps", "v0.png.geometric.bin"))
+    b = 6
+    interior = dg[b:-b, b:-b]
+    good = interior[interior > 0]
+    assert len(good) > 0.4 * interior.size
+    assert abs(np.median(good) - depth0) / depth0 < 0.03
+    # Fusion prefers the geometric maps.
+    out_ply = str(tmp_path / "fused.ply")
+    pts, normals, vis = run_fusion_workspace(recon, ws, out_ply)
+    assert len(pts) > 200
+    assert os.path.exists(out_ply + ".vis")

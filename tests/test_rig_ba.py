@@ -1,0 +1,172 @@
+"""Rig-aware bundle adjustment tests.
+
+reference analogue: estimators/bundle_adjustment_test.cc rig configs —
+a stereo rig with an unknown sensor_from_rig pose must be recovered jointly
+with frames and points.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from colmap_tpu.estimators import bundle_adjustment as ba
+from colmap_tpu.estimators import bundle_adjustment_rig as rba
+from colmap_tpu.geometry import rotation as rot
+from colmap_tpu.sensor import models as camera_models
+
+
+def _make_rig_problem(rng, F=6, N=120, noise=0.0):
+    """Stereo rig: sensor 0 = identity (reference), sensor 1 offset."""
+    model_id = int(camera_models.CameraModelId.SIMPLE_PINHOLE)
+    cam_params = jnp.asarray([[500.0, 320.0, 240.0]])
+    # Ground-truth sensor_from_rig for sensor 1: baseline + small rotation.
+    sq1 = np.asarray(rot.quat_from_axis_angle(jnp.asarray([0.0, 1.0, 0.0]), 0.05))
+    st1 = np.array([-0.3, 0.01, 0.02])
+    sensor_quat = np.stack([[1.0, 0, 0, 0], sq1])
+    sensor_t = np.stack([np.zeros(3), st1])
+
+    pts = rng.uniform([-2, -2, 4], [2, 2, 8], size=(N, 3))
+    quats, ts = [], []
+    for f in range(F):
+        ang = 0.1 * f
+        q = np.asarray(rot.quat_from_axis_angle(jnp.asarray([0.0, 1.0, 0.0]), ang))
+        t = np.array([0.5 * f - 1.0, 0.05 * f, 0.1 * np.sin(f)])
+        quats.append(q)
+        ts.append(t)
+    quats = np.stack(quats)
+    ts = np.stack(ts)
+
+    obs_frame, obs_sensor, obs_cam, obs_point, obs_xy = [], [], [], [], []
+    for f in range(F):
+        for s in range(2):
+            for n in range(N):
+                X = pts[n]
+                Xr = np.asarray(
+                    rot.quat_rotate(jnp.asarray(quats[f]), jnp.asarray(X))
+                ) + ts[f]
+                Xc = np.asarray(
+                    rot.quat_rotate(jnp.asarray(sensor_quat[s]), jnp.asarray(Xr))
+                ) + sensor_t[s]
+                if Xc[2] < 0.2:
+                    continue
+                uv = Xc[:2] / Xc[2] * 500.0 + [320.0, 240.0]
+                if not (0 <= uv[0] < 640 and 0 <= uv[1] < 480):
+                    continue
+                obs_frame.append(f)
+                obs_sensor.append(s)
+                obs_cam.append(0)
+                obs_point.append(n)
+                obs_xy.append(uv + rng.normal(0, noise, 2))
+    problem = rba.RigBAProblem(
+        quat=jnp.asarray(quats),
+        t=jnp.asarray(ts),
+        sensor_quat=jnp.asarray(sensor_quat),
+        sensor_t=jnp.asarray(sensor_t),
+        cam_params=cam_params,
+        points=jnp.asarray(pts),
+        obs_frame=jnp.asarray(obs_frame, jnp.int32),
+        obs_sensor=jnp.asarray(obs_sensor, jnp.int32),
+        obs_cam=jnp.asarray(obs_cam, jnp.int32),
+        obs_point=jnp.asarray(obs_point, jnp.int32),
+        obs_xy=jnp.asarray(np.asarray(obs_xy)),
+        obs_w=jnp.ones(len(obs_frame)),
+    )
+    return problem, model_id
+
+
+def test_rig_ba_zero_residual_at_gt():
+    rng = np.random.default_rng(0)
+    problem, model_id = _make_rig_problem(rng)
+    cost = float(rba.compute_cost(problem, model_id, ba.BAOptions()))
+    assert cost < 1e-10
+
+
+def test_rig_ba_recovers_perturbation():
+    rng = np.random.default_rng(1)
+    problem, model_id = _make_rig_problem(rng)
+    gt = problem
+    # Perturb frames (except the gauge anchors 0/1), sensor 1, and points.
+    dq = 0.01 * rng.normal(size=problem.quat.shape)
+    dq[:2] = 0.0
+    dt = 0.02 * rng.normal(size=problem.t.shape)
+    dt[:2] = 0.0
+    pq = rot.quat_normalize(problem.quat + dq)
+    psq = rot.quat_normalize(
+        problem.sensor_quat
+        + jnp.asarray([[0, 0, 0, 0], [0.01, -0.005, 0.008, 0.01]])
+    )
+    perturbed = problem._replace(
+        quat=pq,
+        t=problem.t + dt,
+        sensor_quat=psq,
+        sensor_t=problem.sensor_t + jnp.asarray([[0, 0, 0], [0.02, -0.01, 0.015]]),
+        points=problem.points + 0.02 * rng.normal(size=problem.points.shape),
+    )
+    options = ba.BAOptions(max_iterations=40, pcg_iterations=40)
+    masks = rba.default_masks(perturbed, model_id, options)
+    masks = rba.fix_gauge_two_frames(masks, 0, 1)
+    solved, summary = rba.solve(perturbed, model_id, options, masks)
+    assert summary["final_cost"] < 1e-6 * max(summary["initial_cost"], 1.0)
+    # The stereo baseline length is gauge-free: must match ground truth.
+    bl_gt = float(jnp.linalg.norm(gt.sensor_t[1]))
+    bl = float(jnp.linalg.norm(solved.sensor_t[1]))
+    assert abs(bl - bl_gt) < 1e-4
+
+
+def test_rig_ba_reference_sensor_stays_fixed():
+    rng = np.random.default_rng(2)
+    problem, model_id = _make_rig_problem(rng)
+    perturbed = problem._replace(
+        points=problem.points + 0.01 * rng.normal(size=problem.points.shape),
+    )
+    options = ba.BAOptions(max_iterations=10)
+    masks = rba.default_masks(perturbed, model_id, options)
+    masks = rba.fix_gauge_two_frames(masks, 0, 1)
+    solved, _ = rba.solve(perturbed, model_id, options, masks)
+    np.testing.assert_allclose(
+        np.asarray(solved.sensor_quat[0]), [1, 0, 0, 0], atol=1e-12
+    )
+    np.testing.assert_allclose(np.asarray(solved.sensor_t[0]), 0.0, atol=1e-12)
+
+
+def test_rig_ba_roundtrip_through_reconstruction():
+    """Synthetic multi-camera rig dataset -> RigBAProblem -> solve ->
+    write-back keeps the reconstruction consistent."""
+    from colmap_tpu.estimators.ba_setup import (
+        rig_problem_from_reconstruction,
+        update_reconstruction_rig,
+    )
+    from colmap_tpu.scene.synthetic import (
+        SyntheticDatasetOptions,
+        synthesize_dataset,
+    )
+
+    opt = SyntheticDatasetOptions(
+        num_rigs=1, num_cameras_per_rig=2, num_frames_per_rig=5,
+        num_points3D=80,
+        camera_model_id=int(camera_models.CameraModelId.SIMPLE_PINHOLE),
+        camera_params=(640.0, 512.0, 384.0),
+    )
+    recon = synthesize_dataset(opt, rng=np.random.default_rng(3))
+    problem, index = rig_problem_from_reconstruction(recon)
+    model_id = index["model_id"]
+    options = ba.BAOptions(max_iterations=20, pcg_iterations=30,
+                           refine_focal_length=False, refine_extra_params=False)
+    masks = rba.default_masks(problem, model_id, options,
+                              ref_sensors=index["ref_sensor_rows"])
+    masks = rba.fix_gauge_two_frames(masks, 0, 1)
+    cost0 = float(rba.compute_cost(problem, model_id, options))
+    # Noise-free synthetic data: already at the optimum.
+    assert cost0 < 1e-6
+
+    # Perturb points; solver must pull them back.
+    rng = np.random.default_rng(4)
+    perturbed = problem._replace(
+        points=problem.points + 0.01 * rng.normal(size=problem.points.shape)
+    )
+    solved, summary = rba.solve(perturbed, model_id, options, masks)
+    assert summary["final_cost"] < 1e-8
+    update_reconstruction_rig(recon, solved, index)
+    recon.update_point3D_errors()
+    errs = [p.error for p in recon.points3D.values()]
+    assert max(errs) < 1e-3
