@@ -145,14 +145,6 @@ def _cmd_bundle_adjuster(args):
     )
 
 
-def _cmd_rotation_averager(args):
-    from colmap_tpu.scene.database import Database
-    from colmap_tpu.sfm.global_pipeline import GlobalPipeline, GlobalPipelineOptions
-
-    print("rotation averaging runs as part of global_mapper; see --help")
-    sys.exit(1)
-
-
 def _cmd_point_triangulator(args):
     from colmap_tpu.scene.database import Database
     from colmap_tpu.scene.database_cache import DatabaseCache
@@ -801,6 +793,10 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--output_path", required=True)
     c.add_argument("--prior_position_max_error", type=float, default=5.0)
     c.set_defaults(fn=_cmd_pose_prior_mapper)
+
+    from colmap_tpu.cli.extra_commands import register as register_extra
+
+    register_extra(sub)
 
     return p
 

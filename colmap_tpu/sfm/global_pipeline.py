@@ -36,37 +36,14 @@ class GlobalPipeline:
         cache = DatabaseCache.create(
             self.database, min_num_matches=self.options.min_num_matches
         )
-        # Collect relative poses: stored qvec/tvec, or decompose E on the fly.
-        rel_poses: Dict[int, Pose] = {}
-        cameras = self.database.read_cameras()
-        images = {iid: cid for (iid, _, cid) in self.database.read_images()}
-        kps = {}
-        for (id1, id2, g) in self.database.read_all_two_view_geometries():
-            if g is None or len(g.inlier_matches) < self.options.min_num_matches:
-                continue
-            if g.config not in (
-                int(TwoViewGeometryConfig.CALIBRATED),
-                int(TwoViewGeometryConfig.UNCALIBRATED),
-                int(TwoViewGeometryConfig.PLANAR_OR_PANORAMIC),
-            ):
-                continue
-            pair_id = image_pair_to_pair_id(id1, id2)
-            if g.cam2_from_cam1 is not None:
-                rel_poses[pair_id] = g.cam2_from_cam1
-                continue
-            # Decompose the epipolar geometry into a relative pose.
-            if id1 not in images or id2 not in images:
-                continue
-            from colmap_tpu.estimators.two_view_geometry import _recover_pose
-            from colmap_tpu.scene.types import Camera
+        # View graph of relative poses: stored qvec/tvec, or E/F decomposed
+        # on the fly (reference: PoseGraph::Load + relative-pose decomposition).
+        from colmap_tpu.scene.pose_graph import PoseGraph
 
-            cam1, cam2 = cameras[images[id1]], cameras[images[id2]]
-            for iid in (id1, id2):
-                if iid not in kps:
-                    kps[iid] = self.database.read_keypoints(iid)
-            _recover_pose(g, cam1, kps[id1][:, :2], cam2, kps[id2][:, :2])
-            if g.cam2_from_cam1 is not None:
-                rel_poses[pair_id] = g.cam2_from_cam1
+        graph = PoseGraph.load(
+            self.database, min_num_inliers=self.options.min_num_matches
+        )
+        rel_poses: Dict[int, Pose] = graph.rel_poses()
 
         if self.options.verbose:
             print(f"Collected {len(rel_poses)} relative poses")
