@@ -671,6 +671,64 @@ def _cmd_rig_configurator(args):
     db.close()
 
 
+def _cmd_model_orientation_aligner(args):
+    """Align the model's coordinate axes to an estimated world frame
+    (reference: model_orientation_aligner, exe/model.cc — methods
+    MANHATTAN-WORLD / IMAGE-ORIENTATION; plus PRINCIPAL-PLANE / ENU from
+    AlignToPrincipalPlane / AlignToENUPlane)."""
+    from colmap_tpu.estimators import coordinate_frame as cf
+    from colmap_tpu.scene.reconstruction_io import read_model, write_model
+
+    recon = read_model(args.input_path)
+    method = args.method.upper()
+    if method == "MANHATTAN-WORLD":
+        from PIL import Image as PILImage
+
+        if not args.image_path:
+            print("--image_path required for MANHATTAN-WORLD")
+            sys.exit(1)
+        images = {}
+        for iid in recon.reg_image_ids():
+            p = os.path.join(args.image_path, recon.images[iid].name)
+            if os.path.exists(p):
+                images[iid] = np.asarray(PILImage.open(p).convert("L"),
+                                         dtype=np.float32)
+        frame = cf.estimate_manhattan_world_frame(
+            recon, images,
+            cf.ManhattanWorldFrameOptions(max_image_size=args.max_image_size),
+        )
+        if not np.isfinite(frame).all() or abs(np.linalg.det(frame)) < 0.5:
+            print("Manhattan frame estimation failed")
+            sys.exit(1)
+        cf.align_to_orientation_frame(recon, frame)
+    elif method == "IMAGE-ORIENTATION":
+        gravity = cf.estimate_gravity_from_image_orientation(recon)
+        if np.linalg.norm(gravity) < 0.5:
+            print("Gravity estimation failed")
+            sys.exit(1)
+        # Rotate the estimated downward axis onto +y (COLMAP convention:
+        # y points down in world space after orientation alignment).
+        from colmap_tpu.estimators.gravity_refinement import (
+            gravity_aligned_rotation,
+        )
+
+        R = gravity_aligned_rotation(gravity)
+        from colmap_tpu.geometry import rotation as rot
+        import jax.numpy as jnp
+
+        quat = np.asarray(rot.rotmat_to_quat(jnp.asarray(R)))
+        recon.transform(1.0, quat, np.zeros(3))
+    elif method == "PRINCIPAL-PLANE":
+        cf.align_to_principal_plane(recon)
+    elif method == "ENU":
+        cf.align_to_enu_plane(recon)
+    else:
+        print(f"Unknown method {args.method}")
+        sys.exit(1)
+    write_model(recon, args.output_path, fmt="bin")
+    print(f"Aligned model ({method}) -> {args.output_path}")
+
+
 def _cmd_gui(args):
     print(
         "colmap_tpu is a headless TPU framework; the Qt GUI is not available."
@@ -787,6 +845,18 @@ def register(sub):
     c.add_argument("--type", required=True,
                    choices=["all", "images", "features", "matches"])
     c.set_defaults(fn=_cmd_database_cleaner)
+
+    c = sub.add_parser("model_orientation_aligner")
+    c.add_argument("--input_path", required=True)
+    c.add_argument("--output_path", required=True)
+    c.add_argument("--image_path", default=None)
+    c.add_argument("--method", default="MANHATTAN-WORLD",
+                   choices=["MANHATTAN-WORLD", "IMAGE-ORIENTATION",
+                            "PRINCIPAL-PLANE", "ENU",
+                            "manhattan-world", "image-orientation",
+                            "principal-plane", "enu"])
+    c.add_argument("--max_image_size", type=int, default=1024)
+    c.set_defaults(fn=_cmd_model_orientation_aligner)
 
     c = sub.add_parser("rig_configurator")
     c.add_argument("--database_path", required=True)
