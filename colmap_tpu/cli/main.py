@@ -38,6 +38,8 @@ def _cmd_feature_extractor(args):
         camera_model=args.camera_model,
         single_camera=not args.per_image_camera,
         camera_params=args.camera_params,
+        mask_path=args.mask_path,
+        camera_mask_path=args.camera_mask_path,
     )
     sift = SiftOptions(max_num_features=args.max_num_features)
     ids = run_feature_extraction(db, args.image_path, reader_options=reader,
@@ -190,6 +192,19 @@ def _cmd_model_converter(args):
         from colmap_tpu.scene.exporters import write_bundler
 
         write_bundler(recon, args.output_path)
+    elif args.output_type in ("VRML", "vrml"):
+        from colmap_tpu.scene.exporters import write_vrml
+
+        base = os.path.splitext(args.output_path)[0]
+        write_vrml(recon, base + ".images.wrl", base + ".points3D.wrl")
+    elif args.output_type in ("R3D", "r3d", "Recon3D"):
+        from colmap_tpu.scene.exporters import write_recon3d
+
+        write_recon3d(recon, args.output_path)
+    elif args.output_type in ("CAM", "cam"):
+        from colmap_tpu.scene.exporters import write_cam_files
+
+        write_cam_files(recon, args.output_path)
     else:
         print(f"Unknown output type {args.output_type}")
         sys.exit(1)
@@ -280,6 +295,19 @@ def _cmd_image_undistorter(args):
     from colmap_tpu.scene.reconstruction_io import read_model, write_model
 
     recon = read_model(args.input_path)
+    output_type = getattr(args, "output_type", "COLMAP")
+    if output_type == "PMVS":
+        from colmap_tpu.cli.extra_commands2 import export_pmvs
+
+        export_pmvs(recon, args.image_path, args.output_path)
+        print(f"PMVS workspace -> {args.output_path}")
+        return
+    if output_type == "CMP-MVS":
+        from colmap_tpu.cli.extra_commands2 import export_cmp_mvs
+
+        export_cmp_mvs(recon, args.image_path, args.output_path)
+        print(f"CMP-MVS workspace -> {args.output_path}")
+        return
     os.makedirs(os.path.join(args.output_path, "images"), exist_ok=True)
     new_cams = {}
     for cid, cam in recon.cameras.items():
@@ -638,6 +666,8 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--camera_params", default=None)
     c.add_argument("--per_image_camera", action="store_true")
     c.add_argument("--max_num_features", type=int, default=8192)
+    c.add_argument("--mask_path", default=None)
+    c.add_argument("--camera_mask_path", default=None)
     c.set_defaults(fn=_cmd_feature_extractor)
 
     c = sub.add_parser("exhaustive_matcher")
@@ -706,6 +736,8 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--image_path", required=True)
     c.add_argument("--input_path", required=True)
     c.add_argument("--output_path", required=True)
+    c.add_argument("--output_type", default="COLMAP",
+                   choices=["COLMAP", "PMVS", "CMP-MVS"])
     c.set_defaults(fn=_cmd_image_undistorter)
 
     c = sub.add_parser("patch_match_stereo")
@@ -795,8 +827,10 @@ def build_parser() -> argparse.ArgumentParser:
     c.set_defaults(fn=_cmd_pose_prior_mapper)
 
     from colmap_tpu.cli.extra_commands import register as register_extra
+    from colmap_tpu.cli.extra_commands2 import register as register_extra2
 
     register_extra(sub)
+    register_extra2(sub)
 
     return p
 

@@ -43,6 +43,13 @@ class ImageReaderOptions:
     single_camera: bool = True
     default_focal_length_factor: float = 1.2
     camera_params: Optional[str] = None  # comma-separated explicit params
+    # Per-image masks: mask for image "abc/012.jpg" is read from
+    # "<mask_path>/abc/012.jpg.png" (or "<stem>.png" fallback); zero-valued
+    # mask pixels suppress features (reference: image_reader.h:49-52).
+    mask_path: Optional[str] = None
+    # One mask applied to every image of the camera
+    # (reference: image_reader.h:57 camera_mask_path).
+    camera_mask_path: Optional[str] = None
 
 
 def _load_image_gray(path: str) -> np.ndarray:
@@ -50,6 +57,39 @@ def _load_image_gray(path: str) -> np.ndarray:
 
     img = PILImage.open(path).convert("L")
     return np.asarray(img, dtype=np.uint8)
+
+
+def _load_mask(reader_options: ImageReaderOptions, name: str) -> Optional[np.ndarray]:
+    """Load the feature mask for an image, or None. Zero mask pixels
+    suppress keypoints (reference: image_reader.cc:148-172 +
+    feature_extraction.cc keypoint masking)."""
+    from PIL import Image as PILImage
+
+    path = None
+    if reader_options.mask_path:
+        cand = os.path.join(reader_options.mask_path, name + ".png")
+        if os.path.exists(cand):
+            path = cand
+        else:
+            stem, _ = os.path.splitext(name)
+            alt = os.path.join(reader_options.mask_path, stem + ".png")
+            if os.path.exists(alt):
+                path = alt
+            else:
+                raise FileNotFoundError(f"Mask at {cand} does not exist")
+    elif reader_options.camera_mask_path:
+        path = reader_options.camera_mask_path
+    if path is None:
+        return None
+    return np.asarray(PILImage.open(path).convert("L"))
+
+
+def _apply_mask(kp: np.ndarray, desc: np.ndarray, mask_img: np.ndarray):
+    """Drop keypoints on zero mask pixels."""
+    x = np.clip(kp[:, 0].astype(np.int64), 0, mask_img.shape[1] - 1)
+    y = np.clip(kp[:, 1].astype(np.int64), 0, mask_img.shape[0] - 1)
+    keep = mask_img[y, x] != 0
+    return kp[keep], desc[keep]
 
 
 def run_feature_extraction(
@@ -117,6 +157,9 @@ def run_feature_extraction(
                 coordinate_system=0,  # WGS84
             )
         kp, desc = extract_sift(img, sift_options)
+        mask_img = _load_mask(reader_options, name)
+        if mask_img is not None:
+            kp, desc = _apply_mask(np.asarray(kp), np.asarray(desc), mask_img)
         # DB keypoint blob: x, y, scale, orientation (4-col format).
         database.write_keypoints(image_id, kp[:, :4])
         database.write_descriptors(image_id, desc)

@@ -482,3 +482,138 @@ def delaunay_meshing(
         faces = faces[side <= options.max_side_length_factor * ref / 5.0]
 
     return points.astype(np.float32), faces
+
+
+@dataclasses.dataclass
+class AdvancingFrontMeshingOptions:
+    """reference: mvs/advancing_front_meshing.h — CGAL
+    Advancing_front_surface_reconstruction options (radius ratio bound and
+    beta angle). Our implementation grows a manifold triangle front over
+    the Delaunay facet graph with a circumradius priority — the same
+    greedy-plausibility scheme, host-side."""
+
+    radius_ratio_bound: float = 5.0  # max facet radius vs local edge scale
+    # Facets whose circumradius exceeds this multiple of the global median
+    # edge length are never accepted (guards against hull-spanning faces).
+    max_radius_factor: float = 25.0
+
+
+def advancing_front_mesh(
+    points, options: Optional[AdvancingFrontMeshingOptions] = None
+):
+    """Surface reconstruction from unoriented points.
+
+    reference behavior: mvs/advancing_front_meshing.cc (CGAL advancing
+    front). Greedy selection of Delaunay facets by increasing circumradius,
+    constrained so every edge stays in <= 2 accepted facets (manifold
+    front), seeded from the most plausible (smallest) facet of each
+    connected region.
+
+    Returns (vertices (P, 3) float32, faces (F, 3) int32).
+    """
+    import heapq
+
+    from scipy.spatial import Delaunay
+
+    if options is None:
+        options = AdvancingFrontMeshingOptions()
+    points = np.asarray(points, dtype=np.float64)
+    if len(points) < 4:
+        return points.astype(np.float32), np.zeros((0, 3), np.int32)
+    tri = Delaunay(points)
+
+    # Collect unique facets of the tetrahedralization.
+    simp = tri.simplices
+    f0 = simp[:, [1, 2, 3]]
+    f1 = simp[:, [0, 2, 3]]
+    f2 = simp[:, [0, 1, 3]]
+    f3 = simp[:, [0, 1, 2]]
+    facets = np.concatenate([f0, f1, f2, f3], axis=0)
+    facets = np.sort(facets, axis=1)
+    facets = np.unique(facets, axis=0)
+
+    a = points[facets[:, 0]]
+    b = points[facets[:, 1]]
+    c = points[facets[:, 2]]
+    # Triangle circumradius: R = abc / (4 * area).
+    la = np.linalg.norm(b - c, axis=1)
+    lb = np.linalg.norm(a - c, axis=1)
+    lc = np.linalg.norm(a - b, axis=1)
+    area = 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=1)
+    radius = la * lb * lc / np.maximum(4.0 * area, 1e-300)
+
+    med_edge = np.median(np.concatenate([la, lb, lc]))
+    ok = radius <= options.max_radius_factor * med_edge
+    facets = facets[ok]
+    radius = radius[ok]
+    if not len(facets):
+        return points.astype(np.float32), np.zeros((0, 3), np.int32)
+
+    # Edge -> facet adjacency.
+    F = len(facets)
+    edges_of = np.stack(
+        [facets[:, [0, 1]], facets[:, [0, 2]], facets[:, [1, 2]]], axis=1
+    )  # (F, 3, 2), each row sorted since facets are sorted
+    edge_keys = (
+        edges_of[:, :, 0].astype(np.int64) << 32
+    ) | edges_of[:, :, 1].astype(np.int64)
+    from collections import defaultdict
+
+    edge_to_facets = defaultdict(list)
+    for fi in range(F):
+        for e in edge_keys[fi]:
+            edge_to_facets[int(e)].append(fi)
+
+    edge_count = defaultdict(int)  # accepted facets per edge
+    accepted = np.zeros(F, dtype=bool)
+    order = np.argsort(radius)
+    heap = []
+    accepted_list = []
+    seed_ptr = 0
+
+    def try_accept(fi):
+        if accepted[fi]:
+            return False
+        for e in edge_keys[fi]:
+            if edge_count[int(e)] >= 2:
+                return False
+        if radius[fi] > options.radius_ratio_bound * med_edge:
+            return False
+        accepted[fi] = True
+        accepted_list.append(fi)
+        for e in edge_keys[fi]:
+            ek = int(e)
+            edge_count[ek] += 1
+            if edge_count[ek] < 2:
+                for nfi in edge_to_facets[ek]:
+                    if not accepted[nfi]:
+                        heapq.heappush(heap, (radius[nfi], nfi))
+        return True
+
+    while True:
+        # Advance the front; when it empties, seed the next region.
+        progressed = False
+        while heap:
+            _, fi = heapq.heappop(heap)
+            if try_accept(fi):
+                progressed = True
+        while seed_ptr < F:
+            fi = int(order[seed_ptr])
+            seed_ptr += 1
+            if not accepted[fi] and try_accept(fi):
+                progressed = True
+                break
+        if not progressed and seed_ptr >= F and not heap:
+            break
+
+    faces = facets[np.asarray(accepted_list, dtype=np.int64)]
+    # Orient faces consistently-ish: normal votes toward the point-cloud
+    # exterior (away from the local centroid of the face neighborhood).
+    centroid = points.mean(axis=0)
+    av, bv, cv = points[faces[:, 0]], points[faces[:, 1]], points[faces[:, 2]]
+    nrm = np.cross(bv - av, cv - av)
+    outward = (av + bv + cv) / 3.0 - centroid
+    flip = np.einsum("ij,ij->i", nrm, outward) < 0
+    faces = faces.astype(np.int32)
+    faces[flip] = faces[flip][:, ::-1]
+    return points.astype(np.float32), faces

@@ -37,6 +37,17 @@ class RansacOptions:
     batch_size: int = 64  # hypotheses scored per while_loop step
     # multiplier on the dynamic number of trials (dyn_num_trials_multiplier)
     dyn_num_trials_multiplier: float = 3.0
+    # Sampling strategy (reference: optim/random_sampler.h and
+    # optim/progressive_sampler.h). "progressive" = PROSAC-style: early
+    # batches draw from the top of a quality ordering, the pool grows
+    # toward all data as trials accumulate.
+    sampling: str = "uniform"  # "uniform" | "progressive"
+    # Trials after which the progressive pool covers all data.
+    progressive_full_pool_trials: int = 2048
+    # Support measurement (reference: optim/support_measurement.h).
+    # "inlier_count" = InlierSupportMeasurer; "m_estimator" = MSAC-style
+    # truncated-residual score (MEstimatorSupportMeasurer).
+    support: str = "inlier_count"  # "inlier_count" | "m_estimator"
 
 
 class RansacResult(NamedTuple):
@@ -67,6 +78,7 @@ def ransac(
     mask: Optional[jnp.ndarray] = None,
     local_refine_fn: Optional[Callable] = None,
     max_error=None,
+    quality_order: Optional[jnp.ndarray] = None,
 ):
     """Run vectorized (LO-)RANSAC.
 
@@ -81,6 +93,10 @@ def ransac(
         mask: (N,) bool validity of data rows.
         local_refine_fn: optional (model, inlier_weights (N,)) -> model;
             applied to the best model each round (LO-RANSAC inner step).
+        quality_order: optional (N,) data indices sorted best-quality-first;
+            enables PROSAC-style progressive sampling when
+            options.sampling == "progressive" (reference:
+            optim/progressive_sampler.{h,cc}).
 
     Returns: RansacResult.
     """
@@ -93,41 +109,81 @@ def ransac(
         max_error = options.max_error
     max_sq = max_error**2
     K = options.batch_size
+    msac = options.support == "m_estimator"
 
-    def propose_and_score(key):
+    # Valid rows first; within the valid block, best-quality first when a
+    # quality ordering is given (progressive sampling pool layout).
+    if options.sampling == "progressive" and quality_order is not None:
+        rank = jnp.zeros(num_data, dtype=jnp.int32).at[quality_order].set(
+            jnp.arange(num_data, dtype=jnp.int32)
+        )
+        sort_key = jnp.where(mask, rank, rank + num_data)
+        valid_idx = jnp.argsort(sort_key)
+        progressive = True
+    else:
+        valid_idx = jnp.nonzero(mask, size=num_data, fill_value=0)[0]
+        progressive = False
+
+    def _score(models, res):
+        inl = (res <= max_sq) & mask[None, :]
+        count = jnp.sum(inl, axis=-1)
+        if msac:
+            # MSAC truncated-residual score, higher = better (reference:
+            # MEstimatorSupportMeasurer compares total truncated cost).
+            score = jnp.sum(
+                jnp.where(mask[None, :], jnp.maximum(max_sq - res, 0.0), 0.0),
+                axis=-1,
+            )
+        else:
+            score = count.astype(res.dtype)
+        model_ok = jnp.all(jnp.isfinite(models.reshape(models.shape[0], -1)), axis=-1)
+        return jnp.where(model_ok, score, 0.0), jnp.where(model_ok, count, 0)
+
+    def propose_and_score(key, trials):
         # Uniform independent sampling; degenerate (duplicate-index) samples
         # produce degenerate models that simply score poorly.
-        # Bias sampling to valid rows by sampling from valid count then
-        # translating through the sorted index list.
-        valid_idx = jnp.nonzero(mask, size=num_data, fill_value=0)[0]
-        r = jax.random.randint(key, (K, min_sample_size), 0, jnp.maximum(num_valid, 1))
+        if progressive:
+            # Pool grows linearly with trials from the minimal sample size
+            # to all valid data (PROSAC growth schedule, batched).
+            frac = jnp.minimum(
+                trials.astype(jnp.float32) / options.progressive_full_pool_trials,
+                1.0,
+            )
+            pool = (
+                min_sample_size
+                + frac * (num_valid.astype(jnp.float32) - min_sample_size)
+            ).astype(jnp.int32)
+            pool = jnp.clip(pool, min_sample_size, jnp.maximum(num_valid, 1))
+        else:
+            pool = jnp.maximum(num_valid, 1)
+        r = jax.random.randint(key, (K, min_sample_size), 0, pool)
         sample_idxs = valid_idx[r]
         models = sample_estimate_fn(sample_idxs)
         res = residual_fn(models)  # (M, N)
-        inl = (res <= max_sq) & mask[None, :]
-        support = jnp.sum(inl, axis=-1)
-        # Invalid (NaN) models score 0.
-        model_ok = jnp.all(jnp.isfinite(models.reshape(models.shape[0], -1)), axis=-1)
-        support = jnp.where(model_ok, support, 0)
-        best = jnp.argmax(support)
-        return models[best], support[best]
+        score, count = _score(models, res)
+        best = jnp.argmax(score)
+        return models[best], score[best], count[best]
 
-    def best_of(model_a, support_a, model_b, support_b):
-        take_b = support_b > support_a
+    def best_of(model_a, score_a, count_a, model_b, score_b, count_b):
+        take_b = score_b > score_a
         model = jax.tree.map(lambda a, b: jnp.where(take_b, b, a), model_a, model_b)
-        return model, jnp.maximum(support_a, support_b)
+        return (
+            model,
+            jnp.maximum(score_a, score_b),
+            jnp.where(take_b, count_b, count_a),
+        )
 
     key, sub = jax.random.split(key)
-    model0, support0 = propose_and_score(sub)
+    model0, score0, count0 = propose_and_score(sub, jnp.asarray(0))
     if local_refine_fn is not None:
-        model0, support0 = _try_refine(
-            model0, support0, residual_fn, local_refine_fn, mask, max_sq
+        model0, score0, count0 = _try_refine(
+            model0, score0, count0, residual_fn, local_refine_fn, mask, max_sq, msac
         )
 
     def cond(state):
-        key, model, support, trials = state
+        key, model, score, count, trials = state
         dyn = _dyn_max_trials(
-            support, num_valid, min_sample_size, options.confidence,
+            count, num_valid, min_sample_size, options.confidence,
             options.dyn_num_trials_multiplier,
         )
         return (trials < options.max_num_trials) & (
@@ -135,18 +191,21 @@ def ransac(
         )
 
     def body(state):
-        key, model, support, trials = state
+        key, model, score, count, trials = state
         key, sub = jax.random.split(key)
-        new_model, new_support = propose_and_score(sub)
-        model, support = best_of(model, support, new_model, new_support)
+        new_model, new_score, new_count = propose_and_score(sub, trials)
+        model, score, count = best_of(
+            model, score, count, new_model, new_score, new_count
+        )
         if local_refine_fn is not None:
-            model, support = _try_refine(
-                model, support, residual_fn, local_refine_fn, mask, max_sq
+            model, score, count = _try_refine(
+                model, score, count, residual_fn, local_refine_fn, mask, max_sq,
+                msac,
             )
-        return key, model, support, trials + K
+        return key, model, score, count, trials + K
 
-    key, model, support, trials = jax.lax.while_loop(
-        cond, body, (key, model0, support0, jnp.asarray(K))
+    key, model, score, count, trials = jax.lax.while_loop(
+        cond, body, (key, model0, score0, count0, jnp.asarray(K))
     )
 
     res = residual_fn(jax.tree.map(lambda x: x[None], model))[0]
@@ -158,7 +217,9 @@ def ransac(
     return RansacResult(model, num_inliers, inlier_mask, trials, success)
 
 
-def _try_refine(model, support, residual_fn, local_refine_fn, mask, max_sq):
+def _try_refine(
+    model, score, count, residual_fn, local_refine_fn, mask, max_sq, msac=False
+):
     """LO step: refit on current inliers, keep if support improves."""
     res = residual_fn(jax.tree.map(lambda x: x[None], model))[0]
     weights = ((res <= max_sq) & mask).astype(res.dtype)
@@ -167,7 +228,19 @@ def _try_refine(model, support, residual_fn, local_refine_fn, mask, max_sq):
         jnp.isfinite(jax.tree.leaves(jax.tree.map(jnp.ravel, refined))[0])
     )
     res_r = residual_fn(jax.tree.map(lambda x: x[None], refined))[0]
-    support_r = jnp.where(refined_ok, jnp.sum((res_r <= max_sq) & mask), 0)
-    take = support_r > support
+    count_r = jnp.where(refined_ok, jnp.sum((res_r <= max_sq) & mask), 0)
+    if msac:
+        score_r = jnp.where(
+            refined_ok,
+            jnp.sum(jnp.where(mask, jnp.maximum(max_sq - res_r, 0.0), 0.0)),
+            0.0,
+        )
+    else:
+        score_r = count_r.astype(res_r.dtype)
+    take = score_r > score
     model = jax.tree.map(lambda a, b: jnp.where(take, b, a), model, refined)
-    return model, jnp.maximum(support, support_r)
+    return (
+        model,
+        jnp.maximum(score, score_r),
+        jnp.where(take, count_r, count),
+    )

@@ -143,3 +143,138 @@ def write_cam_files(recon: Reconstruction, out_dir: str):
                 f"{focal / w} 0 0 1 "
                 f"{cam.params[pp[0]] / cam.width} {cam.params[pp[1]] / cam.height}\n"
             )
+
+
+def write_recon3d(recon: Reconstruction, out_dir: str, skip_distortion: bool = False):
+    """Recon3D export (reference: ExportRecon3D, reconstruction_io.cc):
+    Recon/synth_0.out (cameras + points), urd-images.txt, imagemap_0.txt.
+    Only pinhole/SIMPLE_RADIAL/RADIAL cameras carry distortion."""
+    base = os.path.join(out_dir, "Recon")
+    os.makedirs(base, exist_ok=True)
+    reg = recon.reg_image_ids()
+    img_row = {}
+    with open(os.path.join(base, "synth_0.out"), "w") as synth, open(
+        os.path.join(base, "urd-images.txt"), "w"
+    ) as ilist, open(os.path.join(base, "imagemap_0.txt"), "w") as imap:
+        synth.write("colmap 1.0\n")
+        synth.write(f"{len(reg)} {recon.num_points3D()}\n")
+        for row, iid in enumerate(reg):
+            image = recon.images[iid]
+            cam = recon.cameras[image.camera_id]
+            mid = int(cam.model_id)
+            k1 = k2 = 0.0
+            if skip_distortion or mid in (
+                int(camera_models.CameraModelId.SIMPLE_PINHOLE),
+                int(camera_models.CameraModelId.PINHOLE),
+            ):
+                pass
+            elif mid == int(camera_models.CameraModelId.SIMPLE_RADIAL):
+                k1 = -float(cam.params[3])
+            elif mid == int(camera_models.CameraModelId.RADIAL):
+                k1 = -float(cam.params[3])
+                k2 = -float(cam.params[4])
+            else:
+                raise ValueError(
+                    "Recon3D only supports SIMPLE_RADIAL, RADIAL and "
+                    "pinhole camera models"
+                )
+            scale = 1.0 / max(cam.width, cam.height)
+            pose = recon.cam_from_world(iid)
+            R = pose.rotmat()
+            synth.write(f"{scale * cam.mean_focal_length():.17g} {k1} {k2}\n")
+            for r in R:
+                synth.write(f"{r[0]:.17g} {r[1]:.17g} {r[2]:.17g}\n")
+            synth.write(f"{pose.t[0]:.17g} {pose.t[1]:.17g} {pose.t[2]:.17g}\n")
+            img_row[iid] = row
+            ilist.write(f"{image.name}\n{cam.width} {cam.height}\n")
+            imap.write(f"{row}\n")
+        for pid, p in recon.points3D.items():
+            synth.write(f"{p.xyz[0]:.17g} {p.xyz[1]:.17g} {p.xyz[2]:.17g}\n")
+            synth.write(
+                f"{int(p.color[0])} {int(p.color[1])} {int(p.color[2])}\n"
+            )
+            seen = set()
+            parts = []
+            for el in p.track:
+                if el.image_id in seen or el.image_id not in img_row:
+                    continue
+                seen.add(el.image_id)
+                image = recon.images[el.image_id]
+                cam = recon.cameras[image.camera_id]
+                pp = camera_models.principal_point_idxs(int(cam.model_id))
+                cx, cy = cam.params[pp[0]], cam.params[pp[1]]
+                xy = image.points2D_xy[el.point2D_idx]
+                scale = 1.0 / max(cam.width, cam.height)
+                parts.append(
+                    f"{img_row[el.image_id]} {el.point2D_idx} -1.0 "
+                    f"{(xy[0] - cx) * scale:.17g} {(xy[1] - cy) * scale:.17g}"
+                )
+            synth.write(f"{len(seen)} " + " ".join(parts) + "\n")
+
+
+def write_vrml(
+    recon: Reconstruction,
+    images_path: str,
+    points3D_path: str,
+    image_scale: float = 1.0,
+    image_rgb=(1.0, 0.0, 0.0),
+):
+    """VRML 2.0 export of camera frusta + colored point set
+    (reference: ExportVRML, reconstruction_io.cc)."""
+    six = image_scale * 0.15
+    siy = image_scale * 0.1
+    base_pts = np.array(
+        [
+            [-six, -siy, six * 2.0],
+            [+six, -siy, six * 2.0],
+            [+six, +siy, six * 2.0],
+            [-six, +siy, six * 2.0],
+            [0.0, 0.0, 0.0],
+            [-six / 3.0, -siy / 3.0, six * 2.0],
+            [+six / 3.0, -siy / 3.0, six * 2.0],
+            [+six / 3.0, +siy / 3.0, six * 2.0],
+            [-six / 3.0, +siy / 3.0, six * 2.0],
+        ]
+    )
+    with open(images_path, "w") as f:
+        for iid in recon.reg_image_ids():
+            world_from_cam = recon.cam_from_world(iid).inverse()
+            pts = world_from_cam.apply(base_pts)
+            f.write("Shape{\n appearance Appearance {\n")
+            f.write("  material DEF Default-ffRffGffB Material {\n")
+            f.write("  ambientIntensity 0\n")
+            f.write(
+                f"  diffuseColor  {image_rgb[0]} {image_rgb[1]} {image_rgb[2]}\n"
+            )
+            f.write("  emissiveColor 0.1 0.1 0.1 } }\n")
+            f.write(" geometry IndexedFaceSet {\n solid FALSE \n")
+            f.write(" colorPerVertex TRUE \n ccw TRUE \n")
+            f.write(" coord Coordinate {\n point [\n")
+            for pt in pts:
+                f.write(f"{pt[0]} {pt[1]} {pt[2]}\n")
+            f.write(" ] }\n")
+            f.write("color Color {color [\n")
+            for _ in range(len(base_pts)):
+                f.write(f" {image_rgb[0]} {image_rgb[1]} {image_rgb[2]}\n")
+            f.write("\n] }\n")
+            f.write("coordIndex [\n")
+            f.write(" 0, 1, 2, 3, -1\n 5, 6, 4, -1\n 6, 7, 4, -1\n")
+            f.write(" 7, 8, 4, -1\n 8, 5, 4, -1\n \n] \n")
+            f.write(" texCoord TextureCoordinate { point [\n")
+            f.write("  1 1,\n  0 1,\n  0 0,\n  1 0,\n  0 0,\n")
+            f.write("  0 0,\n  0 0,\n  0 0,\n  0 0,\n ] }\n")
+            f.write("} }\n")
+    with open(points3D_path, "w") as f:
+        f.write("#VRML V2.0 utf8\n")
+        f.write("Background { skyColor [1.0 1.0 1.0] } \n")
+        f.write("Shape{ appearance Appearance {\n")
+        f.write(" material Material {emissiveColor 1 1 1} }\n")
+        f.write(" geometry PointSet {\n coord Coordinate {\n  point [\n")
+        for p in recon.points3D.values():
+            f.write(f"{p.xyz[0]}, {p.xyz[1]}, {p.xyz[2]}\n")
+        f.write(" ] }\n color Color { color [\n")
+        for p in recon.points3D.values():
+            f.write(
+                f"{p.color[0] / 255.0}, {p.color[1] / 255.0}, {p.color[2] / 255.0}\n"
+            )
+        f.write(" ] } } }\n")
