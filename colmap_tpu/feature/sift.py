@@ -37,6 +37,18 @@ class SiftOptions:
     sigma0: float = 1.6  # base scale of each octave
     # capacity per octave for candidate extrema (fixed shapes)
     max_candidates_per_octave: int = 4096
+    # Fix orientation to 0 for upright features (reference: sift.h upright).
+    upright: bool = False
+    # Domain-size pooling (DSP-SIFT, Dong & Soatto CVPR'15): average the
+    # raw descriptor over dsp_num_scales window sizes in
+    # [dsp_min_scale, dsp_max_scale] x sigma before normalization
+    # (reference: sift.h:76-84).
+    domain_size_pooling: bool = False
+    dsp_min_scale: float = 1.0 / 6.0
+    dsp_max_scale: float = 3.0
+    dsp_num_scales: int = 10
+    # Descriptor normalization (reference: sift.h Normalization).
+    normalization: str = "L1_ROOT"  # "L1_ROOT" | "L2"
 
 
 def _gaussian_kernel1d(sigma: float, radius: int, dtype):
@@ -247,7 +259,7 @@ def _orientations_and_descriptors(gauss, xs, ys, scales, sigmas, valid,
             hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
         return hist, ()
 
-    def descriptor(x, y, lvl, sigma, theta):
+    def raw_descriptor(x, y, lvl, sigma, theta):
         # Rotated 16x16 sampling grid; 4x4 spatial bins x 8 orientations
         # with full trilinear soft-assignment (standard SIFT binning).
         c, s = jnp.cos(theta), jnp.sin(theta)
@@ -276,10 +288,27 @@ def _orientations_and_descriptors(gauss, xs, ys, scales, sigmas, valid,
         od = jnp.abs(po[:, None] - bins8[None, :])
         od = jnp.minimum(od, 8.0 - od)
         wo = jnp.maximum(0.0, 1.0 - od)
-        desc = jnp.einsum("s,su,sv,so->uvo", wm_f, wu, wv, wo).reshape(128)
-        # L1-root normalization (sift.h Normalization::L1_ROOT).
-        desc = desc / jnp.maximum(jnp.sum(jnp.abs(desc)), 1e-12)
-        desc = jnp.sqrt(desc)
+        return jnp.einsum("s,su,sv,so->uvo", wm_f, wu, wv, wo).reshape(128)
+
+    def descriptor(x, y, lvl, sigma, theta):
+        if options.domain_size_pooling:
+            # DSP: average raw descriptors over pooled window scales.
+            dsp = jnp.linspace(
+                options.dsp_min_scale, options.dsp_max_scale,
+                options.dsp_num_scales, dtype=dtype,
+            )
+            descs = jax.vmap(
+                lambda f: raw_descriptor(x, y, lvl, sigma * f, theta)
+            )(dsp)
+            desc = jnp.mean(descs, axis=0)
+        else:
+            desc = raw_descriptor(x, y, lvl, sigma, theta)
+        if options.normalization == "L2":
+            desc = desc / jnp.maximum(jnp.linalg.norm(desc), 1e-12)
+        else:
+            # L1-root normalization (sift.h Normalization::L1_ROOT).
+            desc = desc / jnp.maximum(jnp.sum(jnp.abs(desc)), 1e-12)
+            desc = jnp.sqrt(desc)
         return desc
 
     hists, _ = jax.vmap(per_kp)(xs, ys, scales, sigmas)
@@ -301,6 +330,10 @@ def _orientations_and_descriptors(gauss, xs, ys, scales, sigmas, valid,
         return theta, ok
 
     thetas, theta_ok = jax.vmap(peaks)(hists)  # (K, n_ori)
+    if options.upright:
+        # Single zero orientation per keypoint (reference: sift.h upright).
+        thetas = jnp.zeros_like(thetas)
+        theta_ok = jnp.zeros_like(theta_ok).at[:, 0].set(True)
 
     # Build descriptors for each (kp, orientation).
     n_ori = options.max_num_orientations
@@ -327,7 +360,8 @@ def detect_octave(img, options: SiftOptions):
 
     flat = mask.reshape(-1)
     scores = jnp.where(flat, jnp.abs(dog[1:-1].reshape(-1)), -jnp.inf)
-    top = jax.lax.top_k(scores, cap)[1]
+    # Small octaves can hold fewer samples than the candidate capacity.
+    top = jax.lax.top_k(scores, min(cap, scores.shape[0]))[1]
     valid = jnp.take(scores, top) > 0
     ss = top // (H * W)
     rem = top % (H * W)

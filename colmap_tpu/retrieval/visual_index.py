@@ -94,6 +94,8 @@ class VisualIndex:
         self.signature_thresholds = np.median(self.vocabulary, axis=0)
         self.inverted: Dict[int, List[Tuple[int, np.ndarray]]] = {}
         self.image_word_counts: Dict[int, Dict[int, int]] = {}
+        # image_id -> (word ids (N,), keypoint geometries (N, 4)).
+        self.image_geometries: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
         self.num_images = 0
 
     @staticmethod
@@ -109,7 +111,11 @@ class VisualIndex:
         weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
         return (bits * weights).sum(axis=1).astype(np.uint64)
 
-    def add(self, image_id: int, descriptors: np.ndarray):
+    def add(self, image_id: int, descriptors: np.ndarray,
+            keypoints: Optional[np.ndarray] = None):
+        """Index an image. ``keypoints`` (N, >=4) with (x, y, scale,
+        orientation) enables spatial verification at query time
+        (reference: VisualIndex::Add with geometries)."""
         desc = np.asarray(descriptors, dtype=np.float32)
         if len(desc) == 0:
             return
@@ -121,6 +127,11 @@ class VisualIndex:
             self.inverted.setdefault(w, []).append((image_id, s))
             counts[w] = counts.get(w, 0) + 1
         self.image_word_counts[image_id] = counts
+        if keypoints is not None:
+            kp = np.asarray(keypoints, dtype=np.float32)
+            if kp.shape[1] < 4:
+                kp = np.hstack([kp, np.ones((len(kp), 4 - kp.shape[1]))])
+            self.image_geometries[image_id] = (words.astype(np.int64), kp[:, :4])
         self.num_images += 1
 
     def query(
@@ -149,6 +160,61 @@ class VisualIndex:
                     scores[iid] = scores.get(iid, 0.0) + idf
         ranked = sorted(scores.items(), key=lambda kv: -kv[1])[:num_images]
         return [QueryResult(iid, sc) for (iid, sc) in ranked]
+
+    def query_with_verification(
+        self, descriptors: np.ndarray, keypoints: np.ndarray,
+        num_images: int = 10, num_verifications: int = 20,
+        exclude_image_id: Optional[int] = None,
+    ) -> List[QueryResult]:
+        """TF-IDF retrieval + vote-and-verify spatial re-ranking of the
+        top candidates (reference: VisualIndex::Query spatial verification
+        via retrieval/vote_and_verify.cc; putative matches are features
+        assigned to the same visual word)."""
+        from colmap_tpu.retrieval.vote_and_verify import vote_and_verify
+
+        prelim = self.query(
+            descriptors, num_images=max(num_images, num_verifications),
+            exclude_image_id=exclude_image_id,
+        )
+        if not prelim:
+            return []
+        desc = np.asarray(descriptors, dtype=np.float32)
+        words_q = np.asarray(
+            _assign_words(jnp.asarray(desc), jnp.asarray(self.vocabulary))
+        ).astype(np.int64)
+        kp_q = np.asarray(keypoints, dtype=np.float32)
+        if kp_q.shape[1] < 4:
+            kp_q = np.hstack([kp_q, np.ones((len(kp_q), 4 - kp_q.shape[1]))])
+        kp_q = kp_q[:, :4]
+
+        verified = []
+        for res in prelim[:num_verifications]:
+            geo = self.image_geometries.get(res.image_id)
+            if geo is None:
+                verified.append((res, 0))
+                continue
+            words_db, kp_db = geo
+            # Putative matches: same-word feature pairs (capped per word).
+            order_db = np.argsort(words_db, kind="stable")
+            sorted_words = words_db[order_db]
+            g1_list, g2_list = [], []
+            starts = np.searchsorted(sorted_words, words_q, side="left")
+            ends = np.searchsorted(sorted_words, words_q, side="right")
+            for qi in range(len(words_q)):
+                lo, hi = starts[qi], min(ends[qi], starts[qi] + 4)
+                for j in range(lo, hi):
+                    g1_list.append(kp_q[qi])
+                    g2_list.append(kp_db[order_db[j]])
+            if len(g1_list) < 3:
+                verified.append((res, 0))
+                continue
+            score = vote_and_verify(np.asarray(g1_list), np.asarray(g2_list))
+            verified.append((res, score))
+        verified.sort(key=lambda rs: (-rs[1], -rs[0].score))
+        return [
+            QueryResult(r.image_id, float(s if s > 0 else r.score))
+            for (r, s) in verified[:num_images]
+        ]
 
 
 def vocab_tree_pairs(

@@ -170,6 +170,8 @@ def synthesize_dataset(
 
             recon.add_frame(frame)
             recon.register_frame(frame_id)
+            if database is not None:
+                database.write_frame(frame)
 
             for image in images:
                 camera = recon.cameras[image.camera_id]

@@ -75,6 +75,8 @@ class IncrementalMapper:
         self.recon: Optional[Reconstruction] = None
         self.triangulator: Optional[IncrementalTriangulator] = None
         self.num_reg_trials: Dict[int, int] = {}
+        self.num_structure_less_reg_trials: Dict[int, int] = {}
+        self.num_reg_images_per_camera: Dict[int, int] = {}
         self.filtered_frames: Set[int] = set()
         self.existing_frame_ids: Set[int] = set()
 
@@ -121,6 +123,13 @@ class IncrementalMapper:
             if n_corr < options.init_min_num_inliers:
                 continue
             if self.recon.is_image_registered(id1) or self.recon.is_image_registered(id2):
+                continue
+            # Same-frame pairs cannot seed two distinct frame poses
+            # (the rig baseline already fixes their relative geometry).
+            if (
+                self.recon.images[id1].frame_id
+                == self.recon.images[id2].frame_id
+            ):
                 continue
             result = self._estimate_initial_geometry(id1, id2, options)
             if result is not None:
@@ -271,6 +280,8 @@ class IncrementalMapper:
         recon.set_cam_from_world(id2, cam2_from_cam1.copy().normalize())
         recon.register_frame(image1.frame_id)
         recon.register_frame(image2.frame_id)
+        self._register_frame_event(image1.frame_id)
+        self._register_frame_event(image2.frame_id)
         self.num_reg_trials[id1] = self.num_reg_trials.get(id1, 0) + 1
         self.num_reg_trials[id2] = self.num_reg_trials.get(id2, 0) + 1
 
@@ -376,17 +387,22 @@ class IncrementalMapper:
         return score
 
     # ------------------------------------------------------------------
-    def register_next_image(self, image_id: int, options: IncrementalMapperOptions) -> bool:
-        """2D-3D correspondences -> P3P LO-RANSAC -> LM refine -> continue
-        tracks (reference: RegisterNextImage, incremental_mapper.cc:233-490).
-        """
-        recon = self.recon
-        self.num_reg_trials[image_id] = self.num_reg_trials.get(image_id, 0) + 1
-        image = recon.images[image_id]
-        camera = recon.cameras[image.camera_id]
-        graph = self.cache.correspondence_graph
 
-        # Collect 2D-3D correspondences.
+    def _register_frame_event(self, frame_id: int):
+        """Track per-camera registration counts (reference:
+        RegisterFrameEvent, incremental_mapper.cc)."""
+        for iid in self.recon.frames[frame_id].image_ids():
+            cid = self.recon.images[iid].camera_id
+            self.num_reg_images_per_camera[cid] = (
+                self.num_reg_images_per_camera.get(cid, 0) + 1
+            )
+
+    def _collect_2d3d_for_image(self, image_id: int) -> Tuple[List[int], List[int]]:
+        """2D-3D correspondences through the correspondence graph
+        (reference: RegisterNextImage correspondence collection,
+        incremental_mapper.cc:296-336)."""
+        recon = self.recon
+        graph = self.cache.correspondence_graph
         p2d_idxs, p3d_ids = [], []
         corr_p3d_seen: Dict[int, Set[int]] = {}
         offsets, data_img, data_idx = graph.correspondence_arrays(image_id)
@@ -404,6 +420,46 @@ class IncrementalMapper:
             seen.add(p3d)
             p2d_idxs.append(int(p))
             p3d_ids.append(p3d)
+        return p2d_idxs, p3d_ids
+
+    def register_next_image(self, image_id: int, options: IncrementalMapperOptions) -> bool:
+        """2D-3D correspondences -> P3P LO-RANSAC -> LM refine -> continue
+        tracks (reference: RegisterNextImage, incremental_mapper.cc:233-490).
+        Frames with multiple cameras and well-calibrated focal lengths are
+        dispatched to generalized rig registration
+        (incremental_mapper.cc:253-270).
+        """
+        recon = self.recon
+        image = recon.images[image_id]
+        frame = recon.frames[image.frame_id]
+        rig = recon.rigs[frame.rig_id]
+        if len(frame.image_ids()) > 1:
+            all_good_focal = True
+            for iid in frame.image_ids():
+                cam = recon.cameras[recon.images[iid].camera_id]
+                if not cam.has_prior_focal_length and self.num_reg_images_per_camera.get(
+                    cam.camera_id, 0
+                ) == 0:
+                    all_good_focal = False
+                    break
+                if camera_models.has_bogus_params(
+                    cam.model_id, cam.params, cam.width, cam.height,
+                    options.min_focal_length_ratio,
+                    options.max_focal_length_ratio, options.max_extra_param,
+                ):
+                    all_good_focal = False
+                    break
+            sensors_known = all(
+                rig.sensor_from_rig((int(SensorType.CAMERA),
+                                     recon.images[iid].camera_id)) is not None
+                for iid in frame.image_ids()
+            )
+            if all_good_focal and sensors_known:
+                return self.register_next_general_frame(frame, options)
+
+        self.num_reg_trials[image_id] = self.num_reg_trials.get(image_id, 0) + 1
+        camera = recon.cameras[image.camera_id]
+        p2d_idxs, p3d_ids = self._collect_2d3d_for_image(image_id)
 
         if len(p2d_idxs) < options.abs_pose_min_num_inliers:
             return False
@@ -431,6 +487,7 @@ class IncrementalMapper:
 
         recon.set_cam_from_world(image_id, pose)
         recon.register_frame(image.frame_id)
+        self._register_frame_event(image.frame_id)
 
         # Continue tracks with verified inliers.
         for i in np.nonzero(inlier_mask)[0]:
@@ -445,6 +502,172 @@ class IncrementalMapper:
             )
             if err <= options.filter_max_reproj_error:
                 recon.add_observation(p3d_id, TrackElement(image_id, p2d_idx))
+        return True
+
+    # ------------------------------------------------------------------
+    def register_next_general_frame(
+        self, frame: Frame, options: IncrementalMapperOptions
+    ) -> bool:
+        """Generalized (multi-camera) rig registration: 2D-3D
+        correspondences across all frame images -> gDLT LO-RANSAC ->
+        rig-tangent LM refine -> continue tracks.
+
+        reference: RegisterNextGeneralFrame (incremental_mapper.cc:492-672,
+        GP3P via EstimateGeneralizedAbsolutePose at :608).
+        """
+        from colmap_tpu.estimators.generalized_pose import (
+            GeneralizedAbsolutePoseOptions,
+            estimate_generalized_absolute_pose,
+            refine_generalized_absolute_pose,
+        )
+
+        recon = self.recon
+        rig = recon.rigs[frame.rig_id]
+        frame_images = frame.image_ids()
+        for iid in frame_images:
+            self.num_reg_trials[iid] = self.num_reg_trials.get(iid, 0) + 1
+
+        cams_from_rig = []
+        cameras = []
+        pts2d, pts3d, cam_idxs = [], [], []
+        corrs = []  # (image_id, point2D_idx, point3D_id)
+        for k, iid in enumerate(frame_images):
+            image = recon.images[iid]
+            camera = recon.cameras[image.camera_id]
+            sensor_from_rig = rig.sensor_from_rig(
+                (int(SensorType.CAMERA), image.camera_id)
+            )
+            cams_from_rig.append(sensor_from_rig)
+            cameras.append(camera)
+            p2d_idxs, p3d_ids = self._collect_2d3d_for_image(iid)
+            for p2d_idx, p3d_id in zip(p2d_idxs, p3d_ids):
+                pts2d.append(image.points2D_xy[p2d_idx])
+                pts3d.append(recon.points3D[p3d_id].xyz)
+                cam_idxs.append(k)
+                corrs.append((iid, p2d_idx, p3d_id))
+
+        if len(pts2d) < options.abs_pose_min_num_inliers:
+            return False
+
+        pts2d = np.asarray(pts2d)
+        pts3d = np.asarray(pts3d)
+        cam_idxs = np.asarray(cam_idxs)
+        # Estimate the world scale along with the pose: a monocular-seeded
+        # scene carries an arbitrary scale that conflicts with the metric
+        # rig baselines; the first rig registration upgrades the model to
+        # the rig's metric scale.
+        pose, inlier_mask, scale = estimate_generalized_absolute_pose(
+            pts2d, pts3d, cam_idxs, cams_from_rig, cameras,
+            GeneralizedAbsolutePoseOptions(
+                max_error_px=options.abs_pose_max_error,
+                min_inlier_ratio=options.abs_pose_min_inlier_ratio,
+            ),
+            seed=options.seed,
+            estimate_scale=True,
+        )
+        if pose is None or int(inlier_mask.sum()) < options.abs_pose_min_num_inliers:
+            return False
+        if 0.2 < scale < 5.0 and abs(scale - 1.0) > 1e-6:
+            recon.transform(scale, np.array([1.0, 0, 0, 0]), np.zeros(3))
+            pts3d = pts3d * scale
+        pose, ok = refine_generalized_absolute_pose(
+            pose, pts2d, pts3d, cam_idxs, cams_from_rig, cameras, inlier_mask
+        )
+        if not ok:
+            return False
+
+        frame.rig_from_world = pose
+        recon.register_frame(frame.frame_id)
+        self._register_frame_event(frame.frame_id)
+
+        # Continue tracks with verified inliers across all frame images.
+        for i in np.nonzero(inlier_mask)[0]:
+            iid, p2d_idx, p3d_id = corrs[i]
+            image = recon.images[iid]
+            if image.points2D_p3d[p2d_idx] != INVALID_POINT3D:
+                continue
+            if p3d_id not in recon.points3D:
+                continue
+            err = self.triangulator._reproj_error_px(
+                recon.cameras[image.camera_id], recon.cam_from_world(iid),
+                recon.points3D[p3d_id].xyz, image.points2D_xy[p2d_idx],
+            )
+            if err <= options.filter_max_reproj_error:
+                recon.add_observation(p3d_id, TrackElement(iid, p2d_idx))
+        return True
+
+    # ------------------------------------------------------------------
+    def register_next_structure_less_image(
+        self, image_id: int, options: IncrementalMapperOptions
+    ) -> bool:
+        """Structure-less resectioning from 2D-2D correspondences to
+        registered images (Zheng & Wu).
+
+        reference: RegisterNextStructureLessImage
+        (incremental_mapper.cc:673-870) — requires 2x the inliers of the
+        structured path because each 2D-2D correspondence contributes one
+        epipolar constraint instead of two reprojection constraints.
+        """
+        from colmap_tpu.estimators.generalized_pose import (
+            StructureLessAbsolutePoseOptions,
+            estimate_structure_less_absolute_pose,
+        )
+
+        recon = self.recon
+        if recon.num_reg_frames() < 2:
+            return False
+        self.num_structure_less_reg_trials[image_id] = (
+            self.num_structure_less_reg_trials.get(image_id, 0) + 1
+        )
+        image = recon.images[image_id]
+        camera = recon.cameras[image.camera_id]
+        min_num_inliers = 2 * options.abs_pose_min_num_inliers
+
+        graph = self.cache.correspondence_graph
+        offsets, data_img, data_idx = graph.correspondence_arrays(image_id)
+        pt_idx = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+        pts_new, pts_w, w_cam_idxs = [], [], []
+        world_poses, world_cams = [], []
+        world_image_to_idx: Dict[int, int] = {}
+        for (p, oid, oidx) in zip(pt_idx, data_img, data_idx):
+            oid = int(oid)
+            if not recon.is_image_registered(oid):
+                continue
+            w_image = recon.images[oid]
+            w_camera = recon.cameras[w_image.camera_id]
+            if camera_models.has_bogus_params(
+                w_camera.model_id, w_camera.params, w_camera.width,
+                w_camera.height, options.min_focal_length_ratio,
+                options.max_focal_length_ratio, options.max_extra_param,
+            ):
+                continue
+            if oid not in world_image_to_idx:
+                world_image_to_idx[oid] = len(world_poses)
+                world_poses.append(recon.cam_from_world(oid))
+                world_cams.append(w_camera)
+            pts_new.append(image.points2D_xy[int(p)])
+            pts_w.append(w_image.points2D_xy[int(oidx)])
+            w_cam_idxs.append(world_image_to_idx[oid])
+
+        if len(pts_new) < min_num_inliers or len(world_poses) < 2:
+            return False
+
+        pose, inlier_mask = estimate_structure_less_absolute_pose(
+            np.asarray(pts_new), np.asarray(pts_w), np.asarray(w_cam_idxs),
+            world_poses, world_cams, camera,
+            StructureLessAbsolutePoseOptions(
+                # Sampson scoring: stricter threshold than the 2D-3D path
+                # (reference: incremental_mapper.cc:765).
+                max_error_px=0.5 * options.abs_pose_max_error,
+            ),
+            seed=options.seed,
+        )
+        if pose is None or int(inlier_mask.sum()) < min_num_inliers:
+            return False
+
+        recon.set_cam_from_world(image_id, pose)
+        recon.register_frame(image.frame_id)
+        self._register_frame_event(image.frame_id)
         return True
 
     # ------------------------------------------------------------------
@@ -468,6 +691,9 @@ class IncrementalMapper:
             ba_options = ba.BAOptions(
                 max_iterations=25, pcg_iterations=25, loss="cauchy", loss_scale=1.0
             )
+        if self._has_nontrivial_rigs():
+            self._rig_local_bundle_adjustment(local_ids, ba_options)
+            return
         image_set = list(local_ids)
         problem, index = problem_from_reconstruction(self.recon, image_set)
         if problem.obs_xy.shape[0] < 10 or problem.points.shape[0] < 4:
@@ -507,6 +733,69 @@ class IncrementalMapper:
         local = [image_id] + ranked[: options.local_ba_num_images - 1]
         return local
 
+    def _has_nontrivial_rigs(self) -> bool:
+        return any(
+            len(self.recon.frames[fid].image_ids()) > 1
+            for fid in self.recon.reg_frame_ids()
+        )
+
+    def _rig_ba(
+        self,
+        frame_ids: List[int],
+        ba_options: ba.BAOptions,
+        const_frames: Optional[List[int]] = None,
+        fix_scale_gauge: bool = False,
+    ):
+        """Rig-aware BA over frames: sensor_from_rig blocks held constant
+        (calibrated rig baselines fix the scale gauge), frame poses and
+        points refined (reference: rig-aware CeresBundleAdjuster with
+        constant sensor_from_rig, estimators/bundle_adjustment_ceres.cc)."""
+        from colmap_tpu.estimators import bundle_adjustment_rig as rba
+        from colmap_tpu.estimators.ba_setup import (
+            rig_problem_from_reconstruction,
+            update_reconstruction_rig,
+        )
+
+        recon = self.recon
+        problem, index = rig_problem_from_reconstruction(recon, frame_ids)
+        if problem.obs_xy.shape[0] < 10 or problem.points.shape[0] < 4:
+            return
+        model_id = index["model_id"]
+        const_rows = None
+        if const_frames:
+            const_rows = [
+                index["frame_ids"].index(f)
+                for f in const_frames
+                if f in index["frame_ids"]
+            ]
+        masks = rba.default_masks(
+            problem, model_id, ba_options,
+            ref_sensors=index["ref_sensor_rows"], const_frames=const_rows,
+        )
+        # Hold every sensor_from_rig constant: the rig calibration fixes
+        # the metric scale of the reconstruction.
+        masks = masks._replace(sensor_mask=masks.sensor_mask * 0.0)
+        # Gauge: fix the first frame pose (scale comes from the rig).
+        fm = masks.frame_mask.at[0].set(0.0)
+        ftm = masks.frame_trans_mask.at[0].set(0.0)
+        masks = masks._replace(frame_mask=fm, frame_trans_mask=ftm)
+        solved, _ = rba.solve(problem, model_id, ba_options, masks)
+        update_reconstruction_rig(recon, solved, index)
+
+    def _rig_local_bundle_adjustment(self, local_ids, ba_options):
+        recon = self.recon
+        frame_ids = sorted(
+            {recon.images[iid].frame_id for iid in local_ids}
+        )
+        frame_ids = [f for f in frame_ids if recon.is_frame_registered(f)]
+        if len(frame_ids) < 1:
+            return
+        reg_frames = recon.reg_frame_ids()
+        const_frames = None
+        if len(reg_frames) > len(frame_ids):
+            const_frames = [min(frame_ids)]
+        self._rig_ba(frame_ids, ba_options, const_frames=const_frames)
+
     def global_bundle_adjustment(self, ba_options: Optional[ba.BAOptions] = None):
         """reference behavior: AdjustGlobalBundle."""
         recon = self.recon
@@ -517,6 +806,9 @@ class IncrementalMapper:
             ba_options = ba.BAOptions(
                 max_iterations=50, pcg_iterations=50, loss="cauchy", loss_scale=1.0
             )
+        if self._has_nontrivial_rigs():
+            self._rig_ba(list(recon.reg_frame_ids()), ba_options)
+            return
         problem, index = problem_from_reconstruction(recon, reg)
         if problem.obs_xy.shape[0] < 10:
             return

@@ -41,6 +41,10 @@ class IncrementalPipelineOptions:
     snapshot_path: str = ""
     snapshot_frames_freq: int = 0
     max_runtime_minutes: float = -1.0
+    # Structure-less resectioning fallback for images without enough 2D-3D
+    # correspondences (reference: incremental_pipeline.h:83-86).
+    structure_less_registration_fallback: bool = True
+    structure_less_registration_only: bool = False
     mapper: IncrementalMapperOptions = dataclasses.field(
         default_factory=IncrementalMapperOptions
     )
@@ -115,6 +119,13 @@ class IncrementalPipeline:
         self._log(f"Initializing with image pair ({id1}, {id2})")
         if not mapper.register_initial_image_pair(id1, id2, pose21, inliers, opts.mapper):
             return False
+        # Triangulate the remaining rig images of the two initial frames
+        # (reference: incremental_pipeline.cc:488-496).
+        for iid in (id1, id2):
+            frame = recon.frames[recon.images[iid].frame_id]
+            for fiid in frame.image_ids():
+                if fiid not in (id1, id2):
+                    mapper.triangulate_image(fiid, opts.triangulator)
         mapper.global_bundle_adjustment(
             ba.BAOptions(max_iterations=30, pcg_iterations=30, loss="cauchy")
         )
@@ -137,15 +148,43 @@ class IncrementalPipeline:
             next_images = mapper.find_next_images(opts.mapper)
             if not next_images:
                 break
+            # reference: incremental_pipeline.cc:575-630 — structured
+            # registration first, structure-less resectioning as fallback.
+            if opts.structure_less_registration_only:
+                structure_less_flags = (True,)
+            elif opts.structure_less_registration_fallback:
+                structure_less_flags = (False, True)
+            else:
+                structure_less_flags = (False,)
             registered_any = False
             for image_id in next_images:
                 self._log(
                     f"Registering image #{image_id} "
                     f"({recon.num_reg_frames() + 1})"
                 )
-                if mapper.register_next_image(image_id, opts.mapper):
+                reg_ok = False
+                for structure_less in structure_less_flags:
+                    if structure_less:
+                        reg_ok = mapper.register_next_structure_less_image(
+                            image_id, opts.mapper
+                        )
+                        if reg_ok:
+                            self._log(
+                                f"Registered image #{image_id} structure-less"
+                            )
+                    else:
+                        reg_ok = mapper.register_next_image(image_id, opts.mapper)
+                    if reg_ok:
+                        break
+                if reg_ok:
                     registered_any = True
-                    mapper.triangulate_image(image_id, opts.triangulator)
+                    # Triangulate every image of the registered frame, not
+                    # just the triggering one (reference:
+                    # incremental_pipeline.cc:651-655) — rig frames register
+                    # all their cameras at once.
+                    frame = recon.frames[recon.images[image_id].frame_id]
+                    for fiid in frame.image_ids():
+                        mapper.triangulate_image(fiid, opts.triangulator)
                     self._iterative_local_refinement(mapper, image_id)
                     if (
                         recon.num_reg_frames()

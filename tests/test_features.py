@@ -119,3 +119,48 @@ def test_match_guided_epipolar_filter():
     matches2 = match_guided(d, d, xy1, xy2_bad, F)
     matched1 = set(matches2[:, 0].tolist())
     assert all(i not in matched1 for i in range(n // 2))
+
+
+def test_sift_dsp_and_upright_variants():
+    """DSP-SIFT and upright options (reference: sift.h:62-84,
+    domain_size_pooling / upright)."""
+    import numpy as np
+
+    from colmap_tpu.feature.sift import SiftOptions, extract_sift
+
+    rng = np.random.default_rng(0)
+    img = (rng.uniform(0, 1, size=(128, 128)) * 64).astype(np.uint8)
+    # A few strong blobs.
+    yy, xx = np.mgrid[0:128, 0:128]
+    for (cy, cx, s) in [(32, 40, 4), (80, 90, 6), (100, 30, 5)]:
+        img = np.maximum(
+            img,
+            (220 * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * s**2))).astype(
+                np.uint8
+            ),
+        )
+    kp_std, d_std = extract_sift(img, SiftOptions(max_num_features=128))
+    kp_dsp, d_dsp = extract_sift(
+        img,
+        SiftOptions(max_num_features=128, domain_size_pooling=True,
+                    dsp_num_scales=4),
+    )
+    assert len(kp_dsp) > 0
+    assert d_dsp.shape[1] == 128
+    # DSP changes descriptors but not detections.
+    assert len(kp_dsp) == len(kp_std)
+    assert not np.array_equal(d_dsp, d_std)
+
+    kp_up, d_up = extract_sift(
+        img, SiftOptions(max_num_features=128, upright=True)
+    )
+    assert len(kp_up) > 0
+    # Upright: single orientation per location, all zero.
+    assert np.allclose(kp_up[:, 3], 0.0, atol=1e-6)
+
+    kp_l2, d_l2 = extract_sift(
+        img, SiftOptions(max_num_features=128, normalization="L2")
+    )
+    # uint8 descriptors scaled by 512: L2 norm ~512.
+    norms = np.linalg.norm(d_l2.astype(np.float64), axis=1)
+    assert np.all(norms > 0)

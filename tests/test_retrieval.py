@@ -78,3 +78,59 @@ def test_vocab_tree_pairs():
         same_b = a >= 4 and b >= 4
         assert same_a or same_b, f"cross-group pair {(a, b)}"
     assert len(pairs) >= 4
+
+
+def test_vote_and_verify_scores_true_match_higher():
+    """reference: retrieval/vote_and_verify_test.cc — a consistent
+    similarity-related geometry set scores high; random geometry low."""
+    import numpy as np
+
+    from colmap_tpu.retrieval.vote_and_verify import (
+        VoteAndVerifyOptions,
+        vote_and_verify,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 80
+    xy = rng.uniform(0, 800, size=(n, 2))
+    scale = rng.uniform(1.0, 3.0, size=n)
+    ori = rng.uniform(-np.pi, np.pi, size=n)
+    g1 = np.column_stack([xy, scale, ori])
+    # g2: similarity transform of g1 (s=1.4, rot=0.3, t=(50, -20)).
+    s, a = 1.4, 0.3
+    R = np.array([[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]])
+    xy2 = s * xy @ R.T + np.array([50.0, -20.0])
+    g2 = np.column_stack([xy2, scale * s, ori + a])
+    score_true = vote_and_verify(g1, g2)
+    assert score_true > 20
+
+    g2_rand = np.column_stack([
+        rng.uniform(0, 800, size=(n, 2)), scale, ori
+    ])
+    score_rand = vote_and_verify(g1, g2_rand)
+    assert score_rand < score_true / 2
+
+
+def test_query_with_spatial_verification():
+    import numpy as np
+
+    from colmap_tpu.retrieval.visual_index import VisualIndex
+
+    rng = np.random.default_rng(1)
+    base = rng.integers(0, 256, size=(300, 128)).astype(np.float32)
+    index = VisualIndex.create(base, num_words=32)
+
+    # Two database images share descriptors with the query; image 1 is
+    # geometrically consistent, image 2 is scrambled.
+    desc = rng.integers(0, 256, size=(60, 128)).astype(np.float32)
+    xy = rng.uniform(0, 640, size=(60, 2))
+    kp_q = np.column_stack([xy, np.ones(60), np.zeros(60)])
+    kp_consistent = np.column_stack([xy + 10.0, np.ones(60), np.zeros(60)])
+    kp_scrambled = np.column_stack([
+        rng.uniform(0, 640, size=(60, 2)), np.ones(60), np.zeros(60)
+    ])
+    index.add(1, desc, kp_consistent)
+    index.add(2, desc, kp_scrambled)
+
+    results = index.query_with_verification(desc, kp_q, num_images=2)
+    assert results[0].image_id == 1

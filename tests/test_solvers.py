@@ -105,7 +105,7 @@ def test_essential_five_point():
     n_trials = 20
     for _ in range(n_trials):
         x1, x2, pose, _ = _random_two_view(rng, 5)
-        E_gt = np.asarray(essential_from_pose(pose))
+        E_gt = np.array(essential_from_pose(pose))
         E_gt /= np.linalg.norm(E_gt)
         Es = np.asarray(essential_five_point(x1, x2))
         best = np.inf
