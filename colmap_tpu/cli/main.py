@@ -40,6 +40,8 @@ def _cmd_feature_extractor(args):
         camera_params=args.camera_params,
         mask_path=args.mask_path,
         camera_mask_path=args.camera_mask_path,
+        extractor_type=args.descriptor_type,
+        aliked_weights_path=args.aliked_weights_path,
     )
     sift = SiftOptions(max_num_features=args.max_num_features)
     ids = run_feature_extraction(db, args.image_path, reader_options=reader,
@@ -668,6 +670,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--max_num_features", type=int, default=8192)
     c.add_argument("--mask_path", default=None)
     c.add_argument("--camera_mask_path", default=None)
+    c.add_argument("--descriptor_type", default="sift",
+                   choices=["sift", "aliked"])
+    c.add_argument("--aliked_weights_path", default=None)
     c.set_defaults(fn=_cmd_feature_extractor)
 
     c = sub.add_parser("exhaustive_matcher")

@@ -50,6 +50,13 @@ class ImageReaderOptions:
     # One mask applied to every image of the camera
     # (reference: image_reader.h:57 camera_mask_path).
     camera_mask_path: Optional[str] = None
+    # Feature extractor type (reference: feature/types.h:43
+    # FeatureExtractorType SIFT / ALIKED_N16ROT / ALIKED_N32).
+    extractor_type: str = "sift"  # "sift" | "aliked"
+    # Optional PyTorch checkpoint with official ALIKED weights; without it
+    # a deterministic random initialization is used (documented fallback —
+    # this environment cannot download the reference's ONNX models).
+    aliked_weights_path: Optional[str] = None
 
 
 def _load_image_gray(path: str) -> np.ndarray:
@@ -156,7 +163,31 @@ def run_feature_extraction(
                 ]),
                 coordinate_system=0,  # WGS84
             )
-        kp, desc = extract_sift(img, sift_options)
+        if reader_options.extractor_type.startswith("aliked"):
+            from colmap_tpu.feature.aliked import (
+                AlikedOptions,
+                extract_aliked,
+                init_params,
+                load_torch_weights,
+            )
+
+            aliked_opts = AlikedOptions(
+                max_num_keypoints=sift_options.max_num_features
+            )
+            if not hasattr(run_feature_extraction, "_aliked_params"):
+                if reader_options.aliked_weights_path:
+                    run_feature_extraction._aliked_params = load_torch_weights(
+                        reader_options.aliked_weights_path, aliked_opts
+                    )
+                else:
+                    run_feature_extraction._aliked_params = init_params(aliked_opts)
+            kp, desc = extract_aliked(
+                img, run_feature_extraction._aliked_params, aliked_opts
+            )
+            # Scale float descriptors into the uint8 DB range.
+            desc = np.clip((desc + 1.0) * 127.5, 0, 255).astype(np.uint8)
+        else:
+            kp, desc = extract_sift(img, sift_options)
         mask_img = _load_mask(reader_options, name)
         if mask_img is not None:
             kp, desc = _apply_mask(np.asarray(kp), np.asarray(desc), mask_img)
@@ -178,6 +209,12 @@ class MatchingPipelineOptions:
     # Re-match with the verified epipolar geometry as a constraint
     # (reference: guided matching, controllers/feature_matching_utils.h:133).
     guided_matching: bool = False
+    # Matcher type (reference: feature/types.h:47-50 SIFT_BRUTEFORCE /
+    # SIFT_LIGHTGLUE / ALIKED_BRUTEFORCE / ALIKED_LIGHTGLUE).
+    matcher_type: str = "bruteforce"  # "bruteforce" | "lightglue"
+    lightglue_weights_path: Optional[str] = None
+    # Overrides LightGlueOptions (layer count, filter threshold, ...).
+    lightglue_options: Optional[object] = None
 
 
 def _match_and_verify_pairs(
@@ -200,10 +237,36 @@ def _match_and_verify_pairs(
             kp_cache[iid] = database.read_keypoints(iid)
         return kp_cache[iid]
 
+    lightglue_params = None
+    if options.matcher_type == "lightglue":
+        from colmap_tpu.feature.lightglue import (
+            LightGlueOptions,
+            init_params as lg_init,
+            load_torch_weights as lg_load,
+        )
+
+        lg_opts = options.lightglue_options or LightGlueOptions()
+        if options.lightglue_weights_path:
+            lightglue_params = lg_load(options.lightglue_weights_path, lg_opts)
+        else:
+            lightglue_params = lg_init(lg_opts)
+
     n_verified = 0
     for (id1, id2) in pairs:
         d1, d2 = get_desc(id1), get_desc(id2)
-        matches = match_descriptors(d1, d2, options.matching)
+        if options.matcher_type == "lightglue":
+            from colmap_tpu.feature.lightglue import match_lightglue
+
+            cam1 = cameras[images[id1][1]]
+            cam2 = cameras[images[id2][1]]
+            matches = match_lightglue(
+                d1.astype(np.float32), get_kp(id1),
+                d2.astype(np.float32), get_kp(id2),
+                (cam1.height, cam1.width), (cam2.height, cam2.width),
+                lightglue_params, lg_opts,
+            )
+        else:
+            matches = match_descriptors(d1, d2, options.matching)
         database.write_matches(id1, id2, matches)
         if len(matches) < options.min_num_inliers:
             continue

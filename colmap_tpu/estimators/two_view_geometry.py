@@ -61,6 +61,12 @@ class TwoViewGeometryOptions:
     # Dominant-plane-robust F (reference: two_view_geometry.h:103 DEGENSAC,
     # estimators/fundamental_matrix_degensac.*).
     use_degensac: bool = False
+    # Focal recovery for uncalibrated pairs: shared focal when both views
+    # come from the same camera without a prior, one-sided focal when
+    # exactly one side is calibrated, Bougnoux two-focal otherwise
+    # (reference: two_view_geometry.cc:560-640 dispatch,
+    # solvers/relpose_shared_focal.*, relpose_one_sided_focal.*).
+    estimate_focals: bool = True
     ransac: RansacOptions = dataclasses.field(
         default_factory=lambda: RansacOptions(
             max_error=4.0,
@@ -273,6 +279,8 @@ def estimate_two_view_geometry(
         if num_h > options.max_H_inlier_ratio * num_f:
             g.config = int(TwoViewGeometryConfig.PLANAR_OR_PANORAMIC)
             g.H = np.asarray(res_h.model)
+        elif options.estimate_focals:
+            _estimate_uncalibrated_focals(g, camera1, camera2)
     elif num_h >= options.min_num_inliers:
         best_mask, best_num = res_h.inlier_mask, num_h
         g.config = int(TwoViewGeometryConfig.PLANAR_OR_PANORAMIC)
@@ -317,6 +325,13 @@ def _recover_pose(g: TwoViewGeometry, camera1, points1, camera2, points2):
 
     if len(g.inlier_matches) < 8:
         return
+    # Use intrinsics recovered by the shared-/one-sided-focal paths when
+    # available (reference: EstimateTwoViewGeometryPose consumes
+    # geometry.camera1/camera2).
+    if g.camera1 is not None:
+        camera1 = g.camera1
+    if g.camera2 is not None:
+        camera2 = g.camera2
     from colmap_tpu.utils.bucketing import bucket_size, pad_rows
 
     n_inl = len(g.inlier_matches)
@@ -358,3 +373,82 @@ def _recover_pose(g: TwoViewGeometry, camera1, points1, camera2, points2):
         g.tri_angle = float(np.median(np.asarray(angles)[ok_np]))
     else:
         g.tri_angle = 0.0
+
+
+def _estimate_uncalibrated_focals(g: TwoViewGeometry, camera1, camera2):
+    """Recover focal lengths for an UNCALIBRATED pair from its F.
+
+    reference behavior: EstimateSharedFocalTwoViewGeometry /
+    EstimateOneSidedFocalTwoViewGeometry (two_view_geometry.cc:1155-1400) —
+    the config stays UNCALIBRATED; the estimated intrinsics are exposed via
+    geometry.camera1/camera2 and E is filled so pose recovery can proceed
+    with the recovered calibration.
+    """
+    import dataclasses as _dc
+
+    from colmap_tpu.estimators.solvers.focal import (
+        one_sided_focal_from_geometry,
+        shared_focal_from_fundamental,
+        two_focals_from_fundamental,
+    )
+    from colmap_tpu.scene.synthetic import _calibration_matrix
+
+    F = jnp.asarray(g.F)
+    pp1 = camera_models.principal_point_idxs(int(camera1.model_id))
+    pp2 = camera_models.principal_point_idxs(int(camera2.model_id))
+    c1 = np.asarray([camera1.params[pp1[0]], camera1.params[pp1[1]]])
+    c2 = np.asarray([camera2.params[pp2[0]], camera2.params[pp2[1]]])
+
+    def set_focal(cam, focal):
+        new = _dc.replace(cam, params=np.asarray(cam.params, dtype=np.float64).copy())
+        for i in camera_models.focal_length_idxs(int(cam.model_id)):
+            new.params[i] = focal
+        new.has_prior_focal_length = False
+        return new
+
+    if camera1.has_prior_focal_length == camera2.has_prior_focal_length:
+        # Both uncalibrated.
+        if camera1.camera_id == camera2.camera_id:
+            focal, ok = shared_focal_from_fundamental(F, c1, c2)
+            if not ok:
+                return
+            g.camera1 = set_focal(camera1, focal)
+            g.camera2 = g.camera1
+        else:
+            f1, f2, ok = two_focals_from_fundamental(F, c1, c2)
+            if not ok:
+                return
+            g.camera1 = set_focal(camera1, f1)
+            g.camera2 = set_focal(camera2, f2)
+    else:
+        # Exactly one side calibrated: recover the other side's focal from
+        # G = T2^T F K1 (x2_centered^T G x1_ray = 0) via the vectorized
+        # essential-ness sweep.
+        flipped = camera1.has_prior_focal_length
+        cam_known = camera1 if flipped else camera2
+        cam_unknown = camera2 if flipped else camera1
+        Fd = F if flipped else F.T
+        K_known = jnp.asarray(_calibration_matrix(cam_known))
+        cu = c2 if flipped else c1
+        T = jnp.asarray(
+            [[1.0, 0.0, cu[0]], [0.0, 1.0, cu[1]], [0.0, 0.0, 1.0]]
+        )
+        G = T.T @ Fd @ K_known
+        max_dim = float(max(cam_unknown.width, cam_unknown.height))
+        focal, score = one_sided_focal_from_geometry(
+            G, 0.1 * max_dim, 10.0 * max_dim
+        )
+        if not np.isfinite(focal) or score > 0.05:
+            return
+        est_unknown = set_focal(cam_unknown, focal)
+        if flipped:
+            g.camera1, g.camera2 = camera1, est_unknown
+        else:
+            g.camera1, g.camera2 = est_unknown, camera2
+
+    # Fill E from the recovered calibration (reference: :97-101).
+    from colmap_tpu.geometry.essential import essential_from_fundamental
+
+    K1 = jnp.asarray(_calibration_matrix(g.camera1))
+    K2 = jnp.asarray(_calibration_matrix(g.camera2))
+    g.E = np.asarray(K2.T @ F @ K1)

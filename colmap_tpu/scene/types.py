@@ -264,3 +264,7 @@ class TwoViewGeometry:
         default_factory=lambda: np.zeros((0, 2), dtype=np.uint32)
     )
     tri_angle: float = -1.0
+    # Cameras with focal lengths estimated by the shared-/one-sided-focal
+    # paths (reference: two_view_geometry.h:94-95 optional camera1/camera2).
+    camera1: Optional["Camera"] = None
+    camera2: Optional["Camera"] = None

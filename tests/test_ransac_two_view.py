@@ -163,3 +163,106 @@ def test_two_view_geometry_degenerate():
     # Too few matches.
     g = estimate_two_view_geometry(cam1, x1[:5], cam2, x2[:5], matches[:5])
     assert g.config == int(TwoViewGeometryConfig.DEGENERATE)
+
+
+def test_shared_focal_recovery_two_view():
+    """Same-camera uncalibrated pair: shared focal recovered from F
+    (reference: EstimateSharedFocalTwoViewGeometry,
+    two_view_geometry.cc:1155)."""
+    import numpy as np
+
+    from colmap_tpu.estimators.two_view_geometry import (
+        TwoViewGeometryOptions,
+        estimate_two_view_geometry,
+    )
+    from colmap_tpu.scene.types import Camera, Pose, TwoViewGeometryConfig
+    from colmap_tpu.sensor import models as camera_models
+
+    rng = np.random.default_rng(0)
+    f_true = 1100.0
+    cam = Camera(
+        1, int(camera_models.CameraModelId.SIMPLE_PINHOLE), 1024, 768,
+        np.array([850.0, 512.0, 384.0]),  # wrong default focal, no prior
+        has_prior_focal_length=False,
+    )
+    n = 200
+    X = np.concatenate(
+        [rng.uniform(-3, 3, (n, 2)), rng.uniform(6, 12, (n, 1))], axis=1
+    )
+    angle = 0.25
+    q = np.array([np.cos(angle / 2), 0, np.sin(angle / 2), 0])
+    pose21 = Pose(q, np.array([1.2, 0.1, 0.2]))
+
+    def project(P, f):
+        uv = P[:, :2] / P[:, 2:3]
+        return uv * f + np.array([512.0, 384.0])
+
+    x1 = project(X, f_true)
+    x2 = project(pose21.apply(X), f_true)
+    ok = (pose21.apply(X)[:, 2] > 0.1) & (X[:, 2] > 0.1)
+    x1, x2 = x1[ok], x2[ok]
+    matches = np.stack([np.arange(len(x1))] * 2, axis=1).astype(np.uint32)
+
+    g = estimate_two_view_geometry(
+        cam, x1, cam, x2, matches,
+        TwoViewGeometryOptions(compute_relative_pose=True, detect_watermark=False),
+    )
+    assert g.config == int(TwoViewGeometryConfig.UNCALIBRATED)
+    assert g.camera1 is not None and g.camera2 is not None
+    f_est = g.camera1.mean_focal_length()
+    np.testing.assert_allclose(f_est, f_true, rtol=0.03)
+    assert g.E is not None
+    # Pose recovered with the estimated focal must match ground truth.
+    assert g.cam2_from_cam1 is not None
+    assert np.degrees(g.cam2_from_cam1.angle_to(pose21)) < 1.0
+
+
+def test_one_sided_focal_recovery_two_view():
+    """One calibrated + one uncalibrated camera: the unknown focal is
+    recovered (reference: EstimateOneSidedFocalTwoViewGeometry)."""
+    import numpy as np
+
+    from colmap_tpu.estimators.two_view_geometry import (
+        TwoViewGeometryOptions,
+        estimate_two_view_geometry,
+    )
+    from colmap_tpu.scene.types import Camera, Pose, TwoViewGeometryConfig
+    from colmap_tpu.sensor import models as camera_models
+
+    rng = np.random.default_rng(1)
+    f1, f2_true = 900.0, 1300.0
+    cam1 = Camera(
+        1, int(camera_models.CameraModelId.SIMPLE_PINHOLE), 1024, 768,
+        np.array([f1, 512.0, 384.0]), has_prior_focal_length=True,
+    )
+    cam2 = Camera(
+        2, int(camera_models.CameraModelId.SIMPLE_PINHOLE), 1024, 768,
+        np.array([700.0, 512.0, 384.0]), has_prior_focal_length=False,
+    )
+    n = 200
+    X = np.concatenate(
+        [rng.uniform(-3, 3, (n, 2)), rng.uniform(6, 12, (n, 1))], axis=1
+    )
+    angle = -0.2
+    q = np.array([np.cos(angle / 2), np.sin(angle / 2), 0, 0])
+    pose21 = Pose(q, np.array([-0.8, 0.4, 0.1]))
+
+    def project(P, f):
+        uv = P[:, :2] / P[:, 2:3]
+        return uv * f + np.array([512.0, 384.0])
+
+    x1 = project(X, f1)
+    x2 = project(pose21.apply(X), f2_true)
+    ok = (pose21.apply(X)[:, 2] > 0.1) & (X[:, 2] > 0.1)
+    x1, x2 = x1[ok], x2[ok]
+    matches = np.stack([np.arange(len(x1))] * 2, axis=1).astype(np.uint32)
+
+    g = estimate_two_view_geometry(
+        cam1, x1, cam2, x2, matches,
+        TwoViewGeometryOptions(detect_watermark=False),
+    )
+    assert g.config == int(TwoViewGeometryConfig.UNCALIBRATED)
+    assert g.camera2 is not None
+    np.testing.assert_allclose(
+        g.camera2.mean_focal_length(), f2_true, rtol=0.03
+    )
