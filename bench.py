@@ -2,15 +2,17 @@
 
 North-star metric from BASELINE.md: BA iterations/s (Ceres-vs-Caspar
 analogue, reference: benchmark/runtime/bundle_adjustment.cc:113-196).
-One LM iteration = full Jacobian build + Schur reduction + PCG solve +
-update on a synthetic problem (200 frames x 50k points x 300k observations,
-f32 — the Caspar default precision).
+One LM iteration = residuals + Jacobians + reduced-camera-system solve
+(dense Schur: explicit S via MXU matmuls + Cholesky — the packed,
+scatter-free path) + tentative update, on a synthetic problem
+(200 frames x 50k points x 300k observations, f32 — the Caspar default
+precision).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 vs_baseline is the speedup over the same solver on the host CPU (the
-stand-in for the reference's CPU Ceres baseline until reference wall-clocks
-are measured on identical scenes).
+stand-in for the reference's CPU Ceres baseline until reference
+wall-clocks are measured on identical scenes).
 """
 
 import json
@@ -21,25 +23,26 @@ import jax
 import jax.numpy as jnp
 
 
-def time_lm(device, problem, masks, model_id, options, n_iters=10):
+N_ITERS = 10
+
+
+def time_packed_solve(device, packed, maps, masks, model_id, options):
     from colmap_tpu.estimators import bundle_adjustment as ba
 
-    problem = jax.device_put(problem, device)
+    packed = jax.device_put(packed, device)
+    maps = jax.device_put(maps, device)
     masks = jax.device_put(masks, device)
-    lam = jax.device_put(jnp.asarray(1e-4, dtype=jnp.float32), device)
-    nu = jax.device_put(jnp.asarray(2.0, dtype=jnp.float32), device)
 
     # Warmup/compile.
-    out = ba.lm_step(problem, model_id, options, masks, lam, nu)
-    jax.block_until_ready(out)
+    out = ba.lm_solve_fused_packed(packed, maps, model_id, options, masks)
+    float(out[1])
 
     start = time.perf_counter()
-    p, l, n = problem, lam, nu
-    for _ in range(n_iters):
-        p, l, n, cost, new_cost, acc = ba.lm_step(p, model_id, options, masks, l, n)
-    jax.block_until_ready((p, l, n))
+    out = ba.lm_solve_fused_packed(packed, maps, model_id, options, masks)
+    final_cost = float(out[1])  # host transfer forces completion
+    n_done = int(out[2])
     elapsed = time.perf_counter() - start
-    return n_iters / elapsed, float(new_cost)
+    return n_done / elapsed, final_cost
 
 
 def main():
@@ -50,18 +53,24 @@ def main():
         num_frames=200, num_points=50_000, obs_per_point=6, dtype=jnp.float32,
         pixel_noise=0.5, pose_noise=0.02, point_noise=0.02,
     )
-    options = ba.BAOptions(max_iterations=1, pcg_iterations=20,
-                           obs_sorted_by_point=True)
+    options = ba.BAOptions(
+        max_iterations=N_ITERS, pcg_iterations=20, function_tolerance=0.0
+    )
     masks = ba.default_masks(problem, model_id, options)
     masks = ba.fix_gauge_two_frames(masks, 0, 1)
+    packed, maps, _caps = ba.pack_problem(problem)
 
-    devices = jax.devices()
-    accel = devices[0]
-    tpu_rate, _ = time_lm(accel, problem, masks, model_id, options)
+    accel = jax.devices()[0]
+    tpu_rate, _ = time_packed_solve(accel, packed, maps, masks, model_id, options)
 
     try:
         cpu = jax.devices("cpu")[0]
-        cpu_rate, _ = time_lm(cpu, problem, masks, model_id, options, n_iters=3)
+        cpu_options = ba.BAOptions(
+            max_iterations=3, pcg_iterations=20, function_tolerance=0.0
+        )
+        cpu_rate, _ = time_packed_solve(
+            cpu, packed, maps, masks, model_id, cpu_options
+        )
     except Exception:
         cpu_rate = None
 

@@ -715,7 +715,7 @@ class IncrementalMapper:
             fm = masks.frame_mask.at[1].set(0.0)
             ftm = masks.frame_trans_mask.at[1].set(0.0)
             masks = masks._replace(frame_mask=fm, frame_trans_mask=ftm)
-        solved, _ = ba.solve(problem, index["model_id"], ba_options, masks)
+        solved, _ = ba.solve_packed(problem, index["model_id"], ba_options, masks)
         update_reconstruction(self.recon, solved, index)
 
     def _find_local_bundle(self, image_id: int, options) -> List[int]:
@@ -814,7 +814,7 @@ class IncrementalMapper:
             return
         masks = ba.default_masks(problem, index["model_id"], ba_options)
         masks = ba.fix_gauge_two_frames(masks, 0, 1)
-        solved, _ = ba.solve(problem, index["model_id"], ba_options, masks)
+        solved, _ = ba.solve_packed(problem, index["model_id"], ba_options, masks)
         update_reconstruction(recon, solved, index)
 
     # ------------------------------------------------------------------

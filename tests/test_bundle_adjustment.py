@@ -166,3 +166,36 @@ def test_ba_constant_points():
     solved, summary = ba.solve(problem, index["model_id"], options, masks)
     np.testing.assert_array_equal(np.asarray(solved.points), pts_before)
     assert summary["final_cost"] < summary["initial_cost"]
+
+
+def test_solve_packed_matches_unpacked():
+    """Packed scatter-free LM (dense Schur / PCG) reproduces the plain
+    solver's optimum (reference: Ceres solver-type selection keeps results
+    identical across DENSE_SCHUR / ITERATIVE_SCHUR)."""
+    import numpy as np
+
+    from colmap_tpu.scene.synthetic_ba import synthetic_ba_problem
+
+    problem, _gt, model_id = synthetic_ba_problem(
+        num_frames=12, num_points=300, obs_per_point=6, dtype=jnp.float32
+    )
+    rng = np.random.default_rng(1)
+    problem = problem._replace(
+        points=problem.points
+        + 0.02 * jnp.asarray(rng.normal(size=problem.points.shape), jnp.float32),
+        t=problem.t
+        + 0.01 * jnp.asarray(rng.normal(size=problem.t.shape), jnp.float32),
+    )
+    options = ba.BAOptions(max_iterations=40, pcg_iterations=40)
+    masks = ba.fix_gauge_two_frames(
+        ba.default_masks(problem, model_id, options), 0, 1
+    )
+    s_ref, sum_ref = ba.solve(problem, model_id, options, masks)
+    s_pack, sum_pack = ba.solve_packed(problem, model_id, options, masks)
+    assert sum_pack["final_cost"] <= sum_ref["final_cost"] * 1.05 + 1e-6
+    # Forced PCG path agrees too.
+    options_pcg = ba.BAOptions(
+        max_iterations=40, pcg_iterations=40, solver_type="pcg"
+    )
+    s_pcg, sum_pcg = ba.solve_packed(problem, model_id, options_pcg, masks)
+    assert sum_pcg["final_cost"] <= sum_ref["final_cost"] * 1.05 + 1e-6
