@@ -347,7 +347,8 @@ def _cmd_patch_match_stereo(args):
                 np.asarray(PILImage.open(p).convert("L"), dtype=np.float32) / 255.0
             )
     problems = run_patch_match_workspace(
-        recon, images, ws, geom_consistency=args.geom_consistency
+        recon, images, ws, geom_consistency=args.geom_consistency,
+        write_consistency_graph=args.write_consistency_graph,
     )
     print(f"PatchMatch: processed {len(problems)} reference images")
 
@@ -748,6 +749,9 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("patch_match_stereo")
     c.add_argument("--geom_consistency", action="store_true",
                    help="second pass with geometric-consistency cost")
+    c.add_argument("--write_consistency_graph", action="store_true",
+                   help="write per-pixel consistent-view lists "
+                        "(reference: --PatchMatchStereo.write_consistency_graph)")
     c.add_argument("--workspace_path", required=True)
     c.set_defaults(fn=_cmd_patch_match_stereo)
 

@@ -191,8 +191,11 @@ def run_feature_extraction(
         mask_img = _load_mask(reader_options, name)
         if mask_img is not None:
             kp, desc = _apply_mask(np.asarray(kp), np.asarray(desc), mask_img)
-        # DB keypoint blob: x, y, scale, orientation (4-col format).
-        database.write_keypoints(image_id, kp[:, :4])
+        # DB keypoint blob: x, y, scale, orientation (4-col format), or the
+        # full 6-col affine frame when estimate_affine_shape produced one.
+        database.write_keypoints(
+            image_id, kp if kp.shape[1] == 6 else kp[:, :4]
+        )
         database.write_descriptors(image_id, desc)
         image_ids.append(image_id)
     database.commit()

@@ -58,6 +58,21 @@ class TwoViewGeometryOptions:
     watermark_detection_max_error: float = 4.0
     force_H_use: bool = False
     compute_relative_pose: bool = False
+    # Recursively estimate multiple configurations by removing the previous
+    # inlier set until no model with enough support remains; if >1 model is
+    # found, config becomes MULTIPLE with the union of inliers (reference:
+    # two_view_geometry.h:108-117, EstimateMultipleTwoViewGeometries
+    # two_view_geometry.cc:339-382).
+    multiple_models: bool = False
+    # Whether watermark models are dropped during multi-model estimation
+    # (reference: two_view_geometry.h:83-84).
+    multiple_ignore_watermark: bool = True
+    # Drop matches whose two keypoints barely move between the images —
+    # useful when a camera rig sees part of its own vehicle
+    # (reference: two_view_geometry.h:90-95, FilterStationaryMatches
+    # two_view_geometry.cc:1570).
+    filter_stationary_matches: bool = False
+    stationary_matches_max_error: float = 4.0
     # Dominant-plane-robust F (reference: two_view_geometry.h:103 DEGENSAC,
     # estimators/fundamental_matrix_degensac.*).
     use_degensac: bool = False
@@ -193,6 +208,25 @@ def estimate_two_view_geometry(
     """
     if options is None:
         options = TwoViewGeometryOptions()
+    matches = np.asarray(matches)
+    if options.filter_stationary_matches and len(matches) > 0:
+        # reference: FilterStationaryMatches (two_view_geometry.cc:1570) —
+        # drop matches that move less than the threshold.
+        disp = (
+            np.asarray(points1)[matches[:, 0]]
+            - np.asarray(points2)[matches[:, 1]]
+        )
+        moving = np.sum(disp * disp, axis=1) > (
+            options.stationary_matches_max_error**2
+        )
+        matches = matches[moving]
+    if options.multiple_models:
+        sub = dataclasses.replace(
+            options, multiple_models=False, filter_stationary_matches=False
+        )
+        return estimate_multiple_two_view_geometries(
+            camera1, points1, camera2, points2, matches, sub, seed=seed
+        )
     g = TwoViewGeometry()
     if len(matches) < options.min_num_inliers:
         g.config = int(TwoViewGeometryConfig.DEGENERATE)
@@ -316,6 +350,72 @@ def estimate_two_view_geometry(
     return g
 
 
+def extract_outlier_matches(matches: np.ndarray, inlier_matches: np.ndarray) -> np.ndarray:
+    """Matches not present in inlier_matches (reference:
+    ExtractOutlierMatches, two_view_geometry.cc:157)."""
+    matches = np.asarray(matches)
+    if len(inlier_matches) == 0:
+        return matches
+    inl = {(int(a), int(b)) for a, b in np.asarray(inlier_matches)}
+    keep = np.fromiter(
+        ((int(a), int(b)) not in inl for a, b in matches),
+        dtype=bool,
+        count=len(matches),
+    )
+    return matches[keep]
+
+
+def estimate_multiple_two_view_geometries(
+    camera1: Camera,
+    points1: np.ndarray,
+    camera2: Camera,
+    points2: np.ndarray,
+    matches: np.ndarray,
+    options: TwoViewGeometryOptions,
+    seed: int = 0,
+) -> TwoViewGeometry:
+    """Recursive multi-model two-view estimation for scenes with several
+    rigidly moving objects or strong distortion.
+
+    reference behavior: EstimateMultipleTwoViewGeometries
+    (two_view_geometry.cc:339-382) — estimate a geometry, remove its
+    inliers, repeat until DEGENERATE; one surviving model keeps its own
+    config, several are reported as MULTIPLE with the concatenated inlier
+    matches (and no single F/E/H, matching the reference which leaves the
+    models of a MULTIPLE configuration unset).
+    """
+    remaining = np.asarray(matches)
+    geometries = []
+    round_idx = 0
+    while True:
+        g = estimate_two_view_geometry(
+            camera1, points1, camera2, points2, remaining, options,
+            seed=seed + round_idx,
+        )
+        round_idx += 1
+        if g.config == int(TwoViewGeometryConfig.DEGENERATE):
+            break
+        remaining = extract_outlier_matches(remaining, g.inlier_matches)
+        if options.multiple_ignore_watermark:
+            if g.config != int(TwoViewGeometryConfig.WATERMARK):
+                geometries.append(g)
+        else:
+            geometries.append(g)
+
+    if not geometries:
+        out = TwoViewGeometry()
+        out.config = int(TwoViewGeometryConfig.DEGENERATE)
+        return out
+    if len(geometries) == 1:
+        return geometries[0]
+    out = TwoViewGeometry()
+    out.config = int(TwoViewGeometryConfig.MULTIPLE)
+    out.inlier_matches = np.concatenate(
+        [g.inlier_matches for g in geometries], axis=0
+    ).astype(np.uint32)
+    return out
+
+
 def _recover_pose(g: TwoViewGeometry, camera1, points1, camera2, points2):
     """Decompose E (or F upgraded by intrinsics) into a relative pose.
 
@@ -347,6 +447,19 @@ def _recover_pose(g: TwoViewGeometry, camera1, points1, camera2, points2):
     )
     x1n, _ = camera_models.cam_from_img(camera1.model_id, jnp.asarray(camera1.params), x1)
     x2n, _ = camera_models.cam_from_img(camera2.model_id, jnp.asarray(camera2.params), x2)
+
+    if (
+        g.config == int(TwoViewGeometryConfig.PLANAR_OR_PANORAMIC)
+        and g.H is not None
+    ):
+        # Homography decomposition resolves PLANAR vs PANORAMIC
+        # (reference: EstimateTwoViewGeometryPoseFromCamRays planar branch,
+        # two_view_geometry.cc:858-905).
+        _recover_pose_planar_or_panoramic(
+            g, camera1, camera2, np.asarray(x1n)[:n_inl], np.asarray(x2n)[:n_inl]
+        )
+        return
+
     if g.E is not None:
         E = jnp.asarray(g.E)
     else:
@@ -373,6 +486,48 @@ def _recover_pose(g: TwoViewGeometry, camera1, points1, camera2, points2):
         g.tri_angle = float(np.median(np.asarray(angles)[ok_np]))
     else:
         g.tri_angle = 0.0
+
+
+def _recover_pose_planar_or_panoramic(g, camera1, camera2, x1n, x2n):
+    """Resolve a PLANAR_OR_PANORAMIC pair by decomposing its homography.
+
+    reference behavior: PoseFromHomographyMatrix selection + the
+    PLANAR/PANORAMIC split on ||t||² (two_view_geometry.cc:875-905):
+    panoramic pairs (pure rotation) get tri_angle = 0; planar pairs keep the
+    triangulated points' median angle.
+    """
+    from colmap_tpu.geometry import rotation as rot
+    from colmap_tpu.geometry.homography import pose_from_homography_matrix
+    from colmap_tpu.geometry.triangulation import triangulation_angle
+    from colmap_tpu.scene.synthetic import _calibration_matrix
+
+    K1 = np.asarray(_calibration_matrix(camera1))
+    K2 = np.asarray(_calibration_matrix(camera2))
+    rays1 = np.concatenate([x1n, np.ones((len(x1n), 1))], axis=1)
+    rays1 /= np.linalg.norm(rays1, axis=1, keepdims=True)
+    rays2 = np.concatenate([x2n, np.ones((len(x2n), 1))], axis=1)
+    rays2 /= np.linalg.norm(rays2, axis=1, keepdims=True)
+    R, t, n, points3D, count = pose_from_homography_matrix(
+        np.asarray(g.H), K1, K2, rays1, rays2
+    )
+    if np.dot(t, t) < 1e-12:
+        g.config = int(TwoViewGeometryConfig.PANORAMIC)
+        g.tri_angle = 0.0
+    else:
+        g.config = int(TwoViewGeometryConfig.PLANAR)
+        if count == 0:
+            return
+        c2 = -R.T @ t
+        angles = np.asarray(
+            triangulation_angle(
+                jnp.zeros(3, dtype=floatx()),
+                jnp.asarray(c2, dtype=floatx()),
+                jnp.asarray(points3D, dtype=floatx()),
+            )
+        )
+        g.tri_angle = float(np.median(angles)) if len(angles) else 0.0
+    quat = np.asarray(rot.rotmat_to_quat(jnp.asarray(R, dtype=floatx())))
+    g.cam2_from_cam1 = Pose(quat, np.asarray(t))
 
 
 def _estimate_uncalibrated_focals(g: TwoViewGeometry, camera1, camera2):

@@ -49,6 +49,15 @@ class SiftOptions:
     dsp_num_scales: int = 10
     # Descriptor normalization (reference: sift.h Normalization).
     normalization: str = "L1_ROOT"  # "L1_ROOT" | "L2"
+    # Affine-covariant shape adaptation (reference: sift.h
+    # estimate_affine_shape via VLFeat vl_covdet_extract_affine_shape,
+    # sift.cc:393-395): per-keypoint Baumberg iteration on the second-moment
+    # matrix; keypoints are reported as full affine frames (x, y, a11, a12,
+    # a21, a22) and descriptors are sampled on the affine-normalized patch.
+    estimate_affine_shape: bool = False
+    # Baumberg iterations (VLFeat default up to 16; the fixed-shape TPU
+    # program runs a constant count, enough for convergence in practice).
+    affine_shape_iterations: int = 5
 
 
 def _gaussian_kernel1d(sigma: float, radius: int, dtype):
@@ -224,23 +233,27 @@ def _orientations_and_descriptors(gauss, xs, ys, scales, sigmas, valid,
             + v11 * fy * fx
         )
 
-    def sample_grads(lvl, yy, xx):
-        """Bilinear-sampled gradient vector (gx, gy) -> (mag, angle)."""
-        sgx = bilinear(gx[lvl], yy, xx)
-        sgy = bilinear(gy[lvl], yy, xx)
-        m = jnp.sqrt(sgx * sgx + sgy * sgy + 1e-20)
-        a = jnp.arctan2(sgy, sgx)
+    def sample_warped_grads(lvl, x, y, W):
+        """Gradients of the warped patch P(p) = I((x,y) + W p) at the 16x16
+        patch grid, by the chain rule: ∇_p P = Wᵀ ∇I. Returns (mag, angle)
+        in patch coordinates. W = sigma*R(theta) reproduces plain
+        scale+rotation sampling; W = sigma*A*R(theta) is the affine-covariant
+        case."""
+        pu = jnp.broadcast_to(win[:, None], (2 * R, 2 * R))  # patch y (row)
+        pv = jnp.broadcast_to(win[None, :], (2 * R, 2 * R))  # patch x (col)
+        dx = W[0, 0] * pv + W[0, 1] * pu
+        dy = W[1, 0] * pv + W[1, 1] * pu
+        sgx = bilinear(gx[lvl], y + dy, x + dx)
+        sgy = bilinear(gy[lvl], y + dy, x + dx)
+        gv = W[0, 0] * sgx + W[1, 0] * sgy
+        gu = W[0, 1] * sgx + W[1, 1] * sgy
+        m = jnp.sqrt(gv * gv + gu * gu + 1e-20)
+        a = jnp.arctan2(gu, gv)
         return m, a
 
-    def per_kp(x, y, lvl, sigma):
-        # Sample grid around the keypoint, spacing ~ sigma.
-        coords_y = y + sigma * win[:, None]
-        coords_x = x + sigma * win[None, :]
-        m, a = sample_grads(
-            lvl,
-            jnp.broadcast_to(coords_y, (2 * R, 2 * R)),
-            jnp.broadcast_to(coords_x, (2 * R, 2 * R)),
-        )
+    def per_kp(x, y, lvl, W):
+        # Sample grid around the keypoint, warped by W (spacing ~ sigma).
+        m, a = sample_warped_grads(lvl, x, y, W)
         # Gaussian weight over the window.
         d2 = (win[:, None] ** 2 + win[None, :] ** 2) / (2.0 * (1.5 * R / 3.0) ** 2)
         w = jnp.exp(-d2)
@@ -259,17 +272,13 @@ def _orientations_and_descriptors(gauss, xs, ys, scales, sigmas, valid,
             hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
         return hist, ()
 
-    def raw_descriptor(x, y, lvl, sigma, theta):
-        # Rotated 16x16 sampling grid; 4x4 spatial bins x 8 orientations
-        # with full trilinear soft-assignment (standard SIFT binning).
-        c, s = jnp.cos(theta), jnp.sin(theta)
+    def raw_descriptor(x, y, lvl, W):
+        # Warped 16x16 sampling grid (W = sigma*A*R(theta)); 4x4 spatial
+        # bins x 8 orientations with full trilinear soft-assignment
+        # (standard SIFT binning).
         u = jnp.broadcast_to(win[:, None], (2 * R, 2 * R))  # row offsets
         v = jnp.broadcast_to(win[None, :], (2 * R, 2 * R))
-        # Rotate sample offsets into image frame.
-        dx = (c * v - s * u) * sigma
-        dy = (s * v + c * u) * sigma
-        m, a = sample_grads(lvl, y + dy, x + dx)
-        a = a - theta
+        m, a = sample_warped_grads(lvl, x, y, W)
         d2 = (u**2 + v**2) / (2.0 * (0.5 * 2 * R) ** 2)
         w = jnp.exp(-d2)
         wm = m * w
@@ -290,7 +299,7 @@ def _orientations_and_descriptors(gauss, xs, ys, scales, sigmas, valid,
         wo = jnp.maximum(0.0, 1.0 - od)
         return jnp.einsum("s,su,sv,so->uvo", wm_f, wu, wv, wo).reshape(128)
 
-    def descriptor(x, y, lvl, sigma, theta):
+    def descriptor(x, y, lvl, W):
         if options.domain_size_pooling:
             # DSP: average raw descriptors over pooled window scales.
             dsp = jnp.linspace(
@@ -298,11 +307,11 @@ def _orientations_and_descriptors(gauss, xs, ys, scales, sigmas, valid,
                 options.dsp_num_scales, dtype=dtype,
             )
             descs = jax.vmap(
-                lambda f: raw_descriptor(x, y, lvl, sigma * f, theta)
+                lambda f: raw_descriptor(x, y, lvl, W * f)
             )(dsp)
             desc = jnp.mean(descs, axis=0)
         else:
-            desc = raw_descriptor(x, y, lvl, sigma, theta)
+            desc = raw_descriptor(x, y, lvl, W)
         if options.normalization == "L2":
             desc = desc / jnp.maximum(jnp.linalg.norm(desc), 1e-12)
         else:
@@ -311,7 +320,64 @@ def _orientations_and_descriptors(gauss, xs, ys, scales, sigmas, valid,
             desc = jnp.sqrt(desc)
         return desc
 
-    hists, _ = jax.vmap(per_kp)(xs, ys, scales, sigmas)
+    def affine_shape(x, y, lvl, sigma):
+        """Baumberg iteration: adapt a det-1 shape matrix A so the
+        second-moment matrix of the A-warped patch becomes isotropic
+        (reference: VLFeat vl_covdet_extract_affine_shape, used by
+        sift.cc:393-395). Returns the final 2x2 A."""
+        d2 = (win[:, None] ** 2 + win[None, :] ** 2) / (2.0 * (1.5 * R / 3.0) ** 2)
+        w = jnp.exp(-d2)
+        w_sum = jnp.sum(w)
+
+        def body(_, A):
+            W = sigma * A
+            pu = jnp.broadcast_to(win[:, None], (2 * R, 2 * R))
+            pv = jnp.broadcast_to(win[None, :], (2 * R, 2 * R))
+            dx = W[0, 0] * pv + W[0, 1] * pu
+            dy = W[1, 0] * pv + W[1, 1] * pu
+            sgx = bilinear(gx[lvl], y + dy, x + dx)
+            sgy = bilinear(gy[lvl], y + dy, x + dx)
+            # Patch-frame gradients: Aᵀ ∇I (the sigma factor is a common
+            # scalar and cancels in the normalized shape update).
+            gv = A[0, 0] * sgx + A[1, 0] * sgy
+            gu = A[0, 1] * sgx + A[1, 1] * sgy
+            m_a = jnp.sum(w * gv * gv) / w_sum
+            m_b = jnp.sum(w * gv * gu) / w_sum
+            m_c = jnp.sum(w * gu * gu) / w_sum
+            eps = 1e-10
+            m_a = m_a + eps
+            m_c = m_c + eps
+            # Closed-form inverse square root of the SPD 2x2 moment matrix:
+            # sqrt(M) = (M + sqrt(det M) I) / sqrt(tr M + 2 sqrt(det M)).
+            det = jnp.maximum(m_a * m_c - m_b * m_b, eps * eps)
+            sq_det = jnp.sqrt(det)
+            denom = jnp.sqrt(jnp.maximum(m_a + m_c + 2.0 * sq_det, eps))
+            s11 = (m_a + sq_det) / denom
+            s12 = m_b / denom
+            s22 = (m_c + sq_det) / denom
+            # inv(sqrt(M)) via the 2x2 adjugate; det(sqrt(M)) = sqrt(det M).
+            i11 = s22 / sq_det
+            i12 = -s12 / sq_det
+            i22 = s11 / sq_det
+            Minv_sqrt = jnp.array([[i11, i12], [i12, i22]], dtype=A.dtype)
+            A_new = A @ Minv_sqrt
+            det_A = A_new[0, 0] * A_new[1, 1] - A_new[0, 1] * A_new[1, 0]
+            A_new = A_new / jnp.sqrt(jnp.maximum(jnp.abs(det_A), eps))
+            return A_new
+
+        A = jax.lax.fori_loop(
+            0, options.affine_shape_iterations, body, jnp.eye(2, dtype=dtype)
+        )
+        # Guard against blow-up on degenerate structures.
+        ok = jnp.all(jnp.isfinite(A)) & (jnp.max(jnp.abs(A)) < 8.0)
+        return jnp.where(ok, A, jnp.eye(2, dtype=dtype))
+
+    if options.estimate_affine_shape:
+        shapes = jax.vmap(affine_shape)(xs, ys, scales, sigmas)  # (K, 2, 2)
+    else:
+        shapes = jnp.broadcast_to(jnp.eye(2, dtype=dtype), (xs.shape[0], 2, 2))
+
+    hists, _ = jax.vmap(per_kp)(xs, ys, scales, sigmas[:, None, None] * shapes)
 
     # Peaks: global max + second peaks >= 0.8 * max that are local maxima.
     def peaks(hist):
@@ -341,10 +407,18 @@ def _orientations_and_descriptors(gauss, xs, ys, scales, sigmas, valid,
     ys_r = jnp.repeat(ys, n_ori)
     lvl_r = jnp.repeat(scales, n_ori)
     sig_r = jnp.repeat(sigmas, n_ori)
+    shp_r = jnp.repeat(shapes, n_ori, axis=0)
     th_r = thetas.reshape(-1)
     ok_r = theta_ok.reshape(-1) & jnp.repeat(valid, n_ori)
-    descs = jax.vmap(descriptor)(xs_r, ys_r, lvl_r, sig_r, th_r)
-    return xs_r, ys_r, sig_r, th_r, descs, ok_r
+    c, s = jnp.cos(th_r), jnp.sin(th_r)
+    rot = jnp.stack(
+        [jnp.stack([c, -s], -1), jnp.stack([s, c], -1)], -2
+    )  # (K*n_ori, 2, 2)
+    # Full affine frame mapping patch to image coords: sigma * A * R(theta)
+    # — the COLMAP FeatureKeypoint (a11, a12, a21, a22) layout.
+    frames = sig_r[:, None, None] * jnp.einsum("kij,kjl->kil", shp_r, rot)
+    descs = jax.vmap(descriptor)(xs_r, ys_r, lvl_r, frames)
+    return xs_r, ys_r, sig_r, th_r, frames, descs, ok_r
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -391,7 +465,10 @@ def extract_sift(image: np.ndarray, options: SiftOptions = None) -> Tuple[np.nda
     Args:
         image: (H, W) float in [0, 1] or uint8.
     Returns:
-        keypoints: (N, 4) float32 [x, y, scale, orientation] in input pixels.
+        keypoints: (N, 4) float32 [x, y, scale, orientation] in input
+            pixels; with estimate_affine_shape, (N, 6) affine frames
+            [x, y, a11, a12, a21, a22] (reference keypoint layout,
+            feature/types.h:52).
         descriptors: (N, 128) uint8.
     """
     if options is None:
@@ -423,12 +500,13 @@ def extract_sift(image: np.ndarray, options: SiftOptions = None) -> Tuple[np.nda
             pad[:n_kp] = sel
             idx = jnp.asarray(pad)
             vmask = jnp.asarray(np.arange(bucket) < n_kp)
-            xs_r, ys_r, sig_r, th_r, descs, ok_r = describe_octave(
+            xs_r, ys_r, sig_r, th_r, frames, descs, ok_r = describe_octave(
                 gauss, xr[idx], yr[idx], lvl[idx], sig[idx], vmask, options
             )
             resp_r = jnp.repeat(resp[idx], options.max_num_orientations)
             ok_np = np.asarray(ok_r)
             if ok_np.any():
+                fr = np.asarray(frames)[ok_np] * scale  # (n, 2, 2)
                 kp = np.stack(
                     [
                         np.asarray(xs_r)[ok_np] * scale,
@@ -436,6 +514,7 @@ def extract_sift(image: np.ndarray, options: SiftOptions = None) -> Tuple[np.nda
                         np.asarray(sig_r)[ok_np] * scale,
                         np.asarray(th_r)[ok_np],
                         np.asarray(resp_r)[ok_np],
+                        fr[:, 0, 0], fr[:, 0, 1], fr[:, 1, 0], fr[:, 1, 1],
                     ],
                     axis=1,
                 )
@@ -444,8 +523,9 @@ def extract_sift(image: np.ndarray, options: SiftOptions = None) -> Tuple[np.nda
         base = _downsample2(gauss[options.octave_resolution])
         scale *= 2.0
 
+    n_cols = 6 if options.estimate_affine_shape else 4
     if not all_kp:
-        return np.zeros((0, 4), np.float32), np.zeros((0, 128), np.uint8)
+        return np.zeros((0, n_cols), np.float32), np.zeros((0, 128), np.uint8)
     kp = np.concatenate(all_kp)
     desc = np.concatenate(all_desc)
     # Top max_num_features by |response|.
@@ -453,4 +533,7 @@ def extract_sift(image: np.ndarray, options: SiftOptions = None) -> Tuple[np.nda
         order = np.argsort(-np.abs(kp[:, 4]))[: options.max_num_features]
         kp, desc = kp[order], desc[order]
     desc_u8 = np.clip(np.round(desc * 512.0), 0, 255).astype(np.uint8)
+    if options.estimate_affine_shape:
+        kp = np.concatenate([kp[:, :2], kp[:, 5:9]], axis=1)
+        return kp.astype(np.float32), desc_u8
     return kp[:, :4].astype(np.float32), desc_u8

@@ -95,6 +95,7 @@ def run_patch_match_workspace(
     max_num_src_images: int = 5,
     problems: Optional[List[PatchMatchProblemSpec]] = None,
     geom_consistency: bool = False,
+    write_consistency_graph: bool = False,
 ) -> List[PatchMatchProblemSpec]:
     """Run PatchMatch for every reference image and write COLMAP-format
     depth/normal maps under output_dir/stereo/.
@@ -114,6 +115,11 @@ def run_patch_match_workspace(
 
     os.makedirs(os.path.join(output_dir, "stereo", "depth_maps"), exist_ok=True)
     os.makedirs(os.path.join(output_dir, "stereo", "normal_maps"), exist_ok=True)
+    if write_consistency_graph:
+        os.makedirs(
+            os.path.join(output_dir, "stereo", "consistency_graphs"),
+            exist_ok=True,
+        )
     if problems is None:
         problems = select_patch_match_problems(recon, max_num_src_images)
 
@@ -122,7 +128,7 @@ def run_patch_match_workspace(
         ref_cam = recon.cameras[ref_img.camera_id]
         ref_pose = recon.cam_from_world(spec.ref_image_id)
         K_ref = _pinhole_K(ref_cam)
-        srcs, K_srcs, R_rels, t_rels, s_depths = [], [], [], [], []
+        srcs, K_srcs, R_rels, t_rels, s_depths, kept_ids = [], [], [], [], [], []
         for sid in spec.src_image_ids:
             if sid not in images:
                 continue
@@ -139,8 +145,9 @@ def run_patch_match_workspace(
             K_srcs.append(_pinhole_K(s_cam))
             R_rels.append(rel.rotmat())
             t_rels.append(rel.t)
+            kept_ids.append(sid)
         if not srcs:
-            return None, None
+            return None, None, None
         problem = PatchMatchProblem(
             ref_image=jnp.asarray(images[spec.ref_image_id], dtype=jnp.float32),
             src_images=jnp.asarray(np.stack(srcs), dtype=jnp.float32),
@@ -154,28 +161,24 @@ def run_patch_match_workspace(
                 else None
             ),
         )
-        return problem, ref_img.name
+        return problem, ref_img.name, kept_ids
 
     def run_pass(suffix, src_depth_lookup=None):
         for spec in problems:
-            problem, name = build_problem(spec, src_depth_lookup)
+            problem, name, kept_ids = build_problem(spec, src_depth_lookup)
             if problem is None:
                 continue
             opts = options or PatchMatchOptions()
             opts = dataclasses.replace(
                 opts, depth_min=spec.depth_min, depth_max=spec.depth_max
             )
-            depth, normal, cost = patch_match(problem, opts)
-            # Filtering (reference: min_ncc; geometric pass additionally
-            # bounds the consistency term, filter_geom_consistency_max_cost).
-            if src_depth_lookup is None:
-                depth = np.where(1.0 - cost >= opts.filter_min_ncc, depth, 0.0)
-            else:
-                max_total = (1.0 - opts.filter_min_ncc) + (
-                    opts.geom_consistency_weight
-                    * opts.filter_geom_consistency_max_cost
-                )
-                depth = np.where(cost <= max_total, depth, 0.0)
+            # The reference-style consistency filter (viewing angles +
+            # selection probability + geometric term when available) zeroes
+            # pixels with fewer than filter_min_num_consistent views
+            # (patch_match_cuda.cu:1209-1276).
+            depth, normal, cost, mask = patch_match(
+                problem, opts, return_consistency=True
+            )
             write_map(
                 os.path.join(output_dir, "stereo", "depth_maps",
                              f"{name}.{suffix}.bin"),
@@ -186,6 +189,13 @@ def run_patch_match_workspace(
                              f"{name}.{suffix}.bin"),
                 normal,
             )
+            if write_consistency_graph:
+                from colmap_tpu.mvs.consistency_graph import ConsistencyGraph
+
+                ConsistencyGraph.from_mask(mask, kept_ids).write(
+                    os.path.join(output_dir, "stereo", "consistency_graphs",
+                                 f"{name}.{suffix}.bin")
+                )
 
     run_pass("photometric")
     if geom_consistency:

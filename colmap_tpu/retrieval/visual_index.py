@@ -128,10 +128,10 @@ class VisualIndex:
             counts[w] = counts.get(w, 0) + 1
         self.image_word_counts[image_id] = counts
         if keypoints is not None:
-            kp = np.asarray(keypoints, dtype=np.float32)
-            if kp.shape[1] < 4:
-                kp = np.hstack([kp, np.ones((len(kp), 4 - kp.shape[1]))])
-            self.image_geometries[image_id] = (words.astype(np.int64), kp[:, :4])
+            from colmap_tpu.feature.keypoints import keypoints_to_xyso
+
+            kp = keypoints_to_xyso(np.asarray(keypoints, dtype=np.float32))
+            self.image_geometries[image_id] = (words.astype(np.int64), kp)
         self.num_images += 1
 
     def query(
@@ -182,10 +182,9 @@ class VisualIndex:
         words_q = np.asarray(
             _assign_words(jnp.asarray(desc), jnp.asarray(self.vocabulary))
         ).astype(np.int64)
-        kp_q = np.asarray(keypoints, dtype=np.float32)
-        if kp_q.shape[1] < 4:
-            kp_q = np.hstack([kp_q, np.ones((len(kp_q), 4 - kp_q.shape[1]))])
-        kp_q = kp_q[:, :4]
+        from colmap_tpu.feature.keypoints import keypoints_to_xyso
+
+        kp_q = keypoints_to_xyso(np.asarray(keypoints, dtype=np.float32))
 
         verified = []
         for res in prelim[:num_verifications]:

@@ -101,6 +101,8 @@ class PoseGraph:
             if g.config not in (
                 int(TwoViewGeometryConfig.CALIBRATED),
                 int(TwoViewGeometryConfig.UNCALIBRATED),
+                int(TwoViewGeometryConfig.PLANAR),
+                int(TwoViewGeometryConfig.PANORAMIC),
                 int(TwoViewGeometryConfig.PLANAR_OR_PANORAMIC),
             ):
                 continue

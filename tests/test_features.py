@@ -164,3 +164,46 @@ def test_sift_dsp_and_upright_variants():
     # uint8 descriptors scaled by 512: L2 norm ~512.
     norms = np.linalg.norm(d_l2.astype(np.float64), axis=1)
     assert np.all(norms > 0)
+
+
+def test_sift_affine_shape_invariance():
+    """Affine-covariant shape estimation (reference: sift.h
+    estimate_affine_shape via VLFeat covdet): descriptors survive an
+    anisotropic stretch noticeably better than plain SIFT, and keypoints
+    come back as 6-col affine frames."""
+    rng = np.random.default_rng(11)
+    img, _, _ = _render_pattern(rng, size=200, n_blobs=35)
+    # Anisotropic stretch: 1.6x in x only.
+    stretch = 1.6
+    H, W = img.shape
+    xs = np.arange(int(W * stretch)) / stretch
+    x0 = np.clip(np.floor(xs).astype(int), 0, W - 2)
+    fx = xs - x0
+    img_s = (img[:, x0] * (1 - fx) + img[:, x0 + 1] * fx).astype(np.float32)
+
+    def match_rate(affine):
+        opts = SiftOptions(
+            max_num_features=300, num_octaves=3,
+            estimate_affine_shape=affine,
+        )
+        kp1, d1 = extract_sift(img, opts)
+        kp2, d2 = extract_sift(img_s, opts)
+        if len(kp1) == 0 or len(kp2) == 0:
+            return 0.0, kp1, kp2
+        m = match_descriptors(d1, d2, MatchingOptions(max_ratio=0.9))
+        if len(m) == 0:
+            return 0.0, kp1, kp2
+        # Geometrically consistent matches under the known stretch.
+        p1 = kp1[m[:, 0], :2]
+        p2 = kp2[m[:, 1], :2]
+        good = (
+            (np.abs(p1[:, 0] * stretch - p2[:, 0]) < 4.0)
+            & (np.abs(p1[:, 1] - p2[:, 1]) < 4.0)
+        )
+        return good.sum() / max(len(kp1), 1), kp1, kp2
+
+    rate_aff, kp1a, _ = match_rate(True)
+    rate_plain, _, _ = match_rate(False)
+    assert kp1a.shape[1] == 6
+    assert rate_aff > 0.15
+    assert rate_aff > rate_plain * 1.2, (rate_aff, rate_plain)

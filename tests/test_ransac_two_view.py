@@ -266,3 +266,142 @@ def test_one_sided_focal_recovery_two_view():
     np.testing.assert_allclose(
         g.camera2.mean_focal_length(), f2_true, rtol=0.03
     )
+
+
+def test_multiple_models_two_homographies():
+    """Two independently moving planes → MULTIPLE config with the union of
+    both inlier sets (reference: EstimateMultipleTwoViewGeometries,
+    two_view_geometry.cc:339-382)."""
+    rng = np.random.default_rng(7)
+    w, h = 1024, 768
+    cam = Camera.create(1, 1, 900.0, w, h)
+
+    def plane_pair(H_gt, n, lo, hi):
+        x1 = rng.uniform(lo, hi, (n, 2))
+        p = np.concatenate([x1, np.ones((n, 1))], axis=1) @ H_gt.T
+        x2 = p[:, :2] / p[:, 2:]
+        return x1, x2
+
+    H_a = np.array([[1.05, 0.02, 40.0], [-0.01, 0.97, -20.0], [1e-5, -2e-5, 1.0]])
+    H_b = np.array([[0.8, -0.1, 300.0], [0.12, 1.15, 90.0], [-3e-5, 4e-5, 1.0]])
+    x1a, x2a = plane_pair(H_a, 150, (60, 60), (480, 700))
+    x1b, x2b = plane_pair(H_b, 80, (540, 60), (960, 700))
+    x1 = np.concatenate([x1a, x1b])
+    x2 = np.concatenate([x2a, x2b])
+    matches = np.stack([np.arange(len(x1))] * 2, axis=1).astype(np.uint32)
+
+    opts = TwoViewGeometryOptions(
+        multiple_models=True, detect_watermark=False, estimate_focals=False,
+    )
+    g = estimate_two_view_geometry(cam, x1, cam, x2, matches, opts)
+    assert g.config == int(TwoViewGeometryConfig.MULTIPLE)
+    # Inliers from both planes present.
+    inl1 = {int(a) for a, _ in g.inlier_matches}
+    assert len(inl1 & set(range(150))) > 100
+    assert len(inl1 & set(range(150, 230))) > 50
+
+
+def test_stationary_match_filtering():
+    """filter_stationary_matches drops near-zero-displacement matches
+    (reference: FilterStationaryMatches, two_view_geometry.cc:1570)."""
+    rng = np.random.default_rng(8)
+    cam1, x1, cam2, x2, matches, out_idx, _ = _make_pair(rng, calibrated=False)
+    # Append stationary junk matches (same coordinates both sides).
+    n_stat = 60
+    stat = rng.uniform(100, 500, (n_stat, 2))
+    x1s = np.concatenate([x1, stat])
+    x2s = np.concatenate([x2, stat + rng.normal(0, 0.5, (n_stat, 2))])
+    m2 = np.stack([np.arange(len(x1s))] * 2, axis=1).astype(np.uint32)
+    g = estimate_two_view_geometry(
+        cam1, x1s, cam2, x2s, m2,
+        TwoViewGeometryOptions(filter_stationary_matches=True,
+                               detect_watermark=False),
+    )
+    stat_ids = set(range(len(x1), len(x1s)))
+    assert not ({int(a) for a, _ in g.inlier_matches} & stat_ids)
+
+
+def test_pose_from_homography_planar():
+    """Malis homography decomposition recovers (R, t, n) of a planar scene
+    (reference: geometry/homography_matrix.cc PoseFromHomographyMatrix)."""
+    from colmap_tpu.geometry.homography import pose_from_homography_matrix
+
+    rng = np.random.default_rng(5)
+    f = 600.0
+    K = np.array([[f, 0, 320.0], [0, f, 240.0], [0, 0, 1.0]])
+    # Plane z = 3 in cam1 (n=(0,0,1), d=3); relative pose with rotation.
+    angle = 0.2
+    c, s = np.cos(angle), np.sin(angle)
+    R_gt = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+    t_gt = np.array([0.5, 0.1, 0.05])
+    n_gt = np.array([0.0, 0.0, 1.0])
+    d = 3.0
+    H = K @ (R_gt - np.outer(t_gt, n_gt) / d) @ np.linalg.inv(K)
+
+    # Bearing rays of plane points visible in both cameras.
+    X = np.concatenate(
+        [rng.uniform(-1.5, 1.5, (100, 2)), np.full((100, 1), d)], axis=1
+    )
+    X2 = X @ R_gt.T + t_gt
+    r1 = X / np.linalg.norm(X, axis=1, keepdims=True)
+    r2 = X2 / np.linalg.norm(X2, axis=1, keepdims=True)
+    R, t, n, pts, count = pose_from_homography_matrix(H, K, K, r1, r2)
+    assert count > 90
+    np.testing.assert_allclose(R, R_gt, atol=1e-6)
+    # Translation recovered up to the plane-distance scale: t/d.
+    np.testing.assert_allclose(t, t_gt / d, atol=1e-6)
+    np.testing.assert_allclose(np.abs(n @ n_gt), 1.0, atol=1e-6)
+
+
+def test_two_view_planar_vs_panoramic_resolution():
+    """compute_relative_pose resolves PLANAR_OR_PANORAMIC into PLANAR (moving
+    camera, planar scene) or PANORAMIC (pure rotation) via homography
+    decomposition (reference: two_view_geometry.cc:875-905)."""
+    rng = np.random.default_rng(6)
+    f = 700.0
+    w, h = 800, 600
+    cam1 = Camera.create(1, 1, f, w, h)
+    cam2 = Camera.create(2, 1, f, w, h)
+    cam1.has_prior_focal_length = True
+    cam2.has_prior_focal_length = True
+    K = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1.0]])
+
+    def run_case(R_gt, t_gt):
+        # Planar scene points at z=5 in cam1.
+        X = np.concatenate(
+            [rng.uniform(-2.5, 2.5, (200, 2)), np.full((200, 1), 5.0)], axis=1
+        )
+        X2 = X @ R_gt.T + t_gt
+        x1 = (X @ K.T)
+        x1 = x1[:, :2] / x1[:, 2:]
+        x2 = (X2 @ K.T)
+        x2 = x2[:, :2] / x2[:, 2:]
+        ok = (
+            (x1[:, 0] > 0) & (x1[:, 0] < w) & (x1[:, 1] > 0) & (x1[:, 1] < h)
+            & (x2[:, 0] > 0) & (x2[:, 0] < w) & (x2[:, 1] > 0) & (x2[:, 1] < h)
+        )
+        x1, x2 = x1[ok], x2[ok]
+        matches = np.stack([np.arange(len(x1))] * 2, 1).astype(np.uint32)
+        return estimate_two_view_geometry(
+            cam1, x1, cam2, x2, matches,
+            TwoViewGeometryOptions(
+                compute_relative_pose=True, detect_watermark=False
+            ),
+        )
+
+    angle = 0.15
+    c, s = np.cos(angle), np.sin(angle)
+    R_gt = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+
+    g_planar = run_case(R_gt, np.array([0.8, 0.1, 0.0]))
+    assert g_planar.config == int(TwoViewGeometryConfig.PLANAR)
+    assert g_planar.cam2_from_cam1 is not None
+    assert g_planar.tri_angle > 0.01
+
+    g_pano = run_case(R_gt, np.zeros(3))
+    assert g_pano.config == int(TwoViewGeometryConfig.PANORAMIC)
+    assert g_pano.tri_angle == 0.0
+    from colmap_tpu.geometry import rotation as rot
+    import jax.numpy as jnp
+    R_est = np.asarray(rot.quat_to_rotmat(jnp.asarray(g_pano.cam2_from_cam1.quat)))
+    np.testing.assert_allclose(R_est, R_gt, atol=1e-3)
