@@ -606,7 +606,15 @@ def solve(problem: BAProblem, model_id: int, options: Optional[BAOptions] = None
 class PackedMaps(NamedTuple):
     p2f: jnp.ndarray  # (N*capp,) int32 -> [0, Of]; Of = dummy row
     f2p: jnp.ndarray  # (Of,) int32 -> [0, N*capp]; N*capp = dummy row
-    cam_onehot: jnp.ndarray  # (Of, C) float
+    cam_onehot: jnp.ndarray  # (Of, C) float, dummy rows zero
+    # Binary camera one-hot (dummy rows select camera 0): turns the
+    # per-observation cam_params gather — a slow small-row gather on TPU —
+    # into one (Of, C) @ (C, P) MXU matmul.
+    cam_onehot_bin: jnp.ndarray  # (Of, C) float
+    # Point-major frame/camera ids (dummy slots -> 0), hoisted out of the
+    # LM loop: these are constants of the packing, not of the iterate.
+    frame_pm: jnp.ndarray  # (N, capp) int32
+    cam_pm: jnp.ndarray  # (N, capp) int32
 
 
 def pack_problem(problem: BAProblem, align: int = 8):
@@ -671,8 +679,18 @@ def pack_problem(problem: BAProblem, align: int = 8):
         p2f[n * capp : n * capp + k] = slots
         f2p[slots] = n * capp + np.arange(k)
 
-    onehot = np.zeros((Of, C), dtype=np.asarray(problem.points).dtype)
+    dt = np.asarray(problem.points).dtype
+    onehot = np.zeros((Of, C), dtype=dt)
     onehot[np.arange(Of), p_cam] = p_w  # weight folded: dummy rows zero
+    onehot_bin = np.zeros((Of, C), dtype=dt)
+    onehot_bin[np.arange(Of), p_cam] = 1.0
+
+    # Point-major frame/camera ids (constants of the packing).
+    frame_pm = np.zeros(N * capp, dtype=np.int32)
+    cam_pm = np.zeros(N * capp, dtype=np.int32)
+    real = p2f < Of
+    frame_pm[real] = (p2f[real] // capf).astype(np.int32)
+    cam_pm[real] = p_cam[p2f[real]].astype(np.int32)
 
     packed = problem._replace(
         obs_frame=jnp.asarray(p_frame),
@@ -684,6 +702,9 @@ def pack_problem(problem: BAProblem, align: int = 8):
     maps = PackedMaps(
         p2f=jnp.asarray(p2f), f2p=jnp.asarray(f2p),
         cam_onehot=jnp.asarray(np.minimum(onehot, 1.0)),
+        cam_onehot_bin=jnp.asarray(onehot_bin),
+        frame_pm=jnp.asarray(frame_pm.reshape(N, capp)),
+        cam_pm=jnp.asarray(cam_pm.reshape(N, capp)),
     )
     return packed, maps, {"capf": capf, "capp": capp}
 
@@ -705,7 +726,24 @@ def _to_fm(x_pm_flat, f2p):
     return ext[f2p]
 
 
-def _residuals_packed(problem: BAProblem, model_id: int, capf: int):
+def _cam_params_per_obs(problem: BAProblem, maps: Optional[PackedMaps],
+                        capf: int):
+    """(F, capf, P) per-observation camera parameters.
+
+    With maps, an (Of, C) @ (C, P) MXU matmul on the binary camera one-hot;
+    the fallback is the per-row gather (the slow small-row path on TPU,
+    kept for callers without a PackedMaps)."""
+    F = problem.quat.shape[0]
+    P = problem.cam_params.shape[1]
+    if maps is not None:
+        cam_obs = maps.cam_onehot_bin @ problem.cam_params  # (Of, P)
+    else:
+        cam_obs = problem.cam_params[problem.obs_cam]
+    return cam_obs.reshape(F, capf, P)
+
+
+def _residuals_packed(problem: BAProblem, model_id: int, capf: int,
+                      maps: Optional[PackedMaps] = None):
     """compute_residuals specialized to the frame-major packed layout:
     quat/t enter as broadcasts over (F, capf) instead of per-observation
     gathers (the gathers of tiny 3/4-float rows are the slow path on TPU)."""
@@ -714,16 +752,16 @@ def _residuals_packed(problem: BAProblem, model_id: int, capf: int):
     dtype = problem.points.dtype
     F = problem.quat.shape[0]
 
-    def per_obs(quat, t, ci, pi, xy):
+    def per_obs(quat, t, cam, pi, xy):
         return f(
             jnp.zeros(6, dtype), jnp.zeros(P, dtype), jnp.zeros(3, dtype),
-            quat, t, problem.cam_params[ci], problem.points[pi], xy,
+            quat, t, cam, problem.points[pi], xy,
         )
 
     per_frame = jax.vmap(per_obs, in_axes=(None, None, 0, 0, 0))
     r = jax.vmap(per_frame)(
         problem.quat, problem.t,
-        problem.obs_cam.reshape(F, capf),
+        _cam_params_per_obs(problem, maps, capf),
         problem.obs_point.reshape(F, capf),
         problem.obs_xy.reshape(F, capf, 2),
     )
@@ -731,8 +769,9 @@ def _residuals_packed(problem: BAProblem, model_id: int, capf: int):
 
 
 def compute_cost_packed(problem: BAProblem, model_id: int,
-                        options: BAOptions, capf: int):
-    r = _residuals_packed(problem, model_id, capf)
+                        options: BAOptions, capf: int,
+                        maps: Optional[PackedMaps] = None):
+    r = _residuals_packed(problem, model_id, capf, maps)
     sq = jnp.sum(r * r, axis=-1)
     sq = jnp.where(jnp.isfinite(sq), sq, 0.0)
     return 0.5 * jnp.sum(
@@ -741,17 +780,18 @@ def compute_cost_packed(problem: BAProblem, model_id: int,
 
 
 def _obs_jacobians_packed(problem: BAProblem, model_id: int,
-                          options: BAOptions, capf: int):
+                          options: BAOptions, capf: int,
+                          maps: Optional[PackedMaps] = None):
     """_obs_jacobians in the packed layout (broadcast pose gathers)."""
     f = make_residual_fn(model_id)
     P = problem.cam_params.shape[1]
     dtype = problem.points.dtype
     F = problem.quat.shape[0]
 
-    def per_obs(quat, t, ci, pi, xy):
+    def per_obs(quat, t, cam, pi, xy):
         args = (
             jnp.zeros(6, dtype), jnp.zeros(P, dtype), jnp.zeros(3, dtype),
-            quat, t, problem.cam_params[ci], problem.points[pi], xy,
+            quat, t, cam, problem.points[pi], xy,
         )
         r = f(*args)
         Jp, Jc, Jx = jax.jacfwd(f, argnums=(0, 1, 2))(*args)
@@ -760,7 +800,7 @@ def _obs_jacobians_packed(problem: BAProblem, model_id: int,
     per_frame = jax.vmap(per_obs, in_axes=(None, None, 0, 0, 0))
     r, Jp, Jc, Jx = jax.vmap(per_frame)(
         problem.quat, problem.t,
-        problem.obs_cam.reshape(F, capf),
+        _cam_params_per_obs(problem, maps, capf),
         problem.obs_point.reshape(F, capf),
         problem.obs_xy.reshape(F, capf, 2),
     )
@@ -880,12 +920,17 @@ def _lm_step_packed_impl(problem: BAProblem, maps: PackedMaps, model_id: int,
     capf = Of // F
     capp = maps.p2f.shape[0] // N
 
-    r, Jp, Jc, Jx = _obs_jacobians_packed(problem, model_id, options, capf)
+    r, Jp, Jc, Jx = _obs_jacobians_packed(problem, model_id, options, capf, maps)
     Jp, Jc, Jx = _apply_masks(Jp, Jc, Jx, problem, masks, options)
 
     Jp_fm = Jp.reshape(F, capf, 2, 6)
-    Jx_pm = _to_pm(Jx, maps.p2f, N, capp)
-    r_pm = _to_pm(r, maps.p2f, N, capp)
+    # One wide cross-layout permutation instead of two narrow ones: TPU
+    # gathers pay per row, so moving [Jx | r] as one (Of, 8) block halves
+    # the permutation cost.
+    comb = jnp.concatenate([Jx.reshape(Of, 6), r], axis=1)
+    comb_pm = _to_pm(comb, maps.p2f, N, capp)  # (N, capp, 8)
+    Jx_pm = comb_pm[..., :6].reshape(N, capp, 2, 3)
+    r_pm = comb_pm[..., 6:8]
 
     # Gradient blocks g = -Jᵀ r (dense reductions).
     gp = -jnp.einsum("fkrd,fkr->fd", Jp_fm, r.reshape(F, capf, 2))
@@ -931,7 +976,7 @@ def _lm_step_packed_impl(problem: BAProblem, maps: PackedMaps, model_id: int,
     dx = jnp.einsum("nde,ne->nd", Hpp_inv, gx - w)
 
     new_problem = _apply_update(problem, dp, dc, dx)
-    new_cost = compute_cost_packed(new_problem, model_id, options, capf)
+    new_cost = compute_cost_packed(new_problem, model_id, options, capf, maps)
 
     diag_pt = jnp.einsum("nkrd,nkrd->nd", Jx_pm, Jx_pm)
     pred = 0.5 * (
@@ -964,7 +1009,7 @@ def lm_step_packed(problem: BAProblem, maps: PackedMaps, model_id: int,
                    options: BAOptions, masks: BAMasks, lam, nu):
     """One LM iteration in the packed layout (same semantics as lm_step)."""
     capf = problem.obs_xy.shape[0] // problem.quat.shape[0]
-    cost = compute_cost_packed(problem, model_id, options, capf)
+    cost = compute_cost_packed(problem, model_id, options, capf, maps)
     out = _lm_step_packed_impl(
         problem, maps, model_id, options, masks, lam, nu, cost
     )
@@ -979,7 +1024,7 @@ def lm_solve_fused_packed(problem: BAProblem, maps: PackedMaps, model_id: int,
     capf = problem.obs_xy.shape[0] // problem.quat.shape[0]
     lam0 = jnp.asarray(options.initial_lambda, dtype=dtype)
     nu0 = jnp.asarray(2.0, dtype=dtype)
-    cost0 = compute_cost_packed(problem, model_id, options, capf)
+    cost0 = compute_cost_packed(problem, model_id, options, capf, maps)
 
     def cond(state):
         problem, lam, nu, it, cur_cost, last_cost, done = state
@@ -1083,16 +1128,22 @@ def _dense_schur_solve(problem, maps, Jp, Jc, Jx, Hpp_inv, lam_diag_pose,
     W = jnp.einsum("ord,ore->ode", Jp, Jx)  # (Of, 6, 3)
     Wc = jnp.einsum("orp,ore->ope", Jc, Jx)  # (Of, P, 3)
 
-    # Point-major gathers + right-multiplied by L_n (Hpp_inv = L L^T).
+    # Point-major layout via ONE wide permutation ([W | Wc] as a flat row —
+    # per-row gather cost amortized), then right-multiplied by L_n
+    # (Hpp_inv = L L^T).
     L = _chol3x3(Hpp_inv)  # (N, 3, 3)
-    W_pm = _to_pm(W, maps.p2f, N, capp)  # (N, capp, 6, 3)
-    Wc_pm = _to_pm(Wc, maps.p2f, N, capp)
+    comb = jnp.concatenate(
+        [W.reshape(Of, 18), Wc.reshape(Of, 3 * P)], axis=1
+    )
+    comb_pm = _to_pm(comb, maps.p2f, N, capp)  # (N, capp, 18+3P)
+    W_pm = comb_pm[..., :18].reshape(N, capp, 6, 3)
+    Wc_pm = comb_pm[..., 18:].reshape(N, capp, P, 3)
     T = jnp.einsum("nkde,nef->nkdf", W_pm, L)  # (N, capp, 6, 3)
     Tc = jnp.einsum("nkpe,nef->nkpf", Wc_pm, L)
-    frame_pm = _to_pm(
-        problem.obs_frame.astype(jnp.int32), maps.p2f, N, capp
-    )  # (N, capp) — dummy slots land on frame 0 with T = 0
-    cam_pm = _to_pm(problem.obs_cam.astype(jnp.int32), maps.p2f, N, capp)
+    # Point-major frame/camera ids are constants of the packing — hoisted
+    # into PackedMaps (dummy slots -> 0 with T = 0 rows).
+    frame_pm = maps.frame_pm
+    cam_pm = maps.cam_pm
 
     # Pad N to a chunk multiple.
     n_chunks = -(-N // point_chunk)
@@ -1108,31 +1159,42 @@ def _dense_schur_solve(problem, maps, Jp, Jc, Jx, Hpp_inv, lam_diag_pose,
     eyeF = jnp.eye(F, dtype=dtype)
     eyeC = jnp.eye(C, dtype=dtype)
 
+    # MXU-native: bf16 operands with f32 accumulation. S entries are
+    # O(150k)-term sums, so the f32 accumulator keeps the Schur matrix
+    # accurate to ~1e-3 relative — ample for an LM *step* (the gain-ratio
+    # test guards against any bad direction).
+    qdtype = jnp.bfloat16 if use_bf16 else dtype
+    # Contract over the (point, residual-component) dims directly with
+    # dot_general — no (B*3, D) reshape, which XLA lowered to a slow
+    # layout-change copy of the Q blocks.
+    dn = (((0, 1), (0, 1)), ((), ()))
+
     def chunk_corr(carry, inputs):
         T_ch, Tc_ch, f_ch, c_ch = inputs  # (B, capp, 6/P, 3), (B, capp)
-        B = T_ch.shape[0]
-        oh_f = eyeF[f_ch]  # (B, capp, F)
-        oh_c = eyeC[c_ch]  # (B, capp, C)
-        # Q rows: (B, 3, F, 6) + (B, 3, C, P).
-        Qp = jnp.einsum("nkf,nkde->nefd", oh_f, T_ch)  # (B, 3, F, 6)
-        Qc = jnp.einsum("nkc,nkpe->necp", oh_c, Tc_ch)  # (B, 3, C, P)
-        Q = jnp.concatenate(
-            [Qp.reshape(B * 3, F * 6), Qc.reshape(B * 3, C * P)], axis=1
-        )
-        if use_bf16:
-            # MXU-native: bf16 operands with f32 accumulation. S entries are
-            # O(150k)-term sums, so the f32 accumulator keeps the Schur
-            # matrix accurate to ~1e-3 relative — ample for an LM *step*
-            # (the gain-ratio test guards against any bad direction).
-            Qb = Q.astype(jnp.bfloat16)
-            return carry + jnp.dot(
-                Qb.T, Qb, preferred_element_type=jnp.float32
-            ), None
-        return carry + Q.T @ Q, None
+        oh_f = eyeF[f_ch].astype(qdtype)  # (B, capp, F)
+        oh_c = eyeC[c_ch].astype(qdtype)  # (B, capp, C)
+        # Q blocks: (B, 3, F, 6) + (B, 3, C, P).
+        Qp = jnp.einsum("nkf,nkde->nefd", oh_f, T_ch.astype(qdtype))
+        Qc = jnp.einsum("nkc,nkpe->necp", oh_c, Tc_ch.astype(qdtype))
+        pp, pc, cc = carry
+        pp = pp + jax.lax.dot_general(
+            Qp, Qp, dn, preferred_element_type=jnp.float32
+        )  # (F, 6, F, 6)
+        pc = pc + jax.lax.dot_general(
+            Qp, Qc, dn, preferred_element_type=jnp.float32
+        )  # (F, 6, C, P)
+        cc = cc + jax.lax.dot_general(
+            Qc, Qc, dn, preferred_element_type=jnp.float32
+        )  # (C, P, C, P)
+        return (pp, pc, cc), None
 
-    S_corr, _ = jax.lax.scan(
+    (S_pp, S_pc, S_cc), _ = jax.lax.scan(
         chunk_corr,
-        jnp.zeros((D, D), dtype),
+        (
+            jnp.zeros((F, 6, F, 6), jnp.float32),
+            jnp.zeros((F, 6, C, P), jnp.float32),
+            jnp.zeros((C, P, C, P), jnp.float32),
+        ),
         (
             T.reshape(n_chunks, point_chunk, capp, 6, 3),
             Tc.reshape(n_chunks, point_chunk, capp, P, 3),
@@ -1140,6 +1202,22 @@ def _dense_schur_solve(problem, maps, Jp, Jc, Jx, Hpp_inv, lam_diag_pose,
             cam_pm.reshape(n_chunks, point_chunk, capp),
         ),
     )
+    S_corr = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [S_pp.reshape(6 * F, 6 * F), S_pc.reshape(6 * F, C * P)],
+                axis=1,
+            ),
+            jnp.concatenate(
+                [
+                    S_pc.reshape(6 * F, C * P).T,
+                    S_cc.reshape(C * P, C * P),
+                ],
+                axis=1,
+            ),
+        ],
+        axis=0,
+    ).astype(dtype)
 
     # Dense H_cc: pose blocks are frame-diagonal; pose-cam and cam-cam
     # couple through the camera one-hot.

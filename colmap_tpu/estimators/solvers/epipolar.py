@@ -102,6 +102,49 @@ def essential_eight_point(x1, x2, weights=None):
     return E
 
 
+def essential_eight_point_rays(r1, r2, weights=None):
+    """Weighted N-point essential matrix from 3D bearing rays with (1,1,0)
+    singular value projection (unit rays need no Hartley conditioning)."""
+    A = _ray_constraint_matrix(r1, r2)
+    if weights is not None:
+        A = A * weights[..., None]
+    f = _smallest_right_singular(A)
+    E = f.reshape(f.shape[:-1] + (3, 3))
+    U, S, Vt = jnp.linalg.svd(E)
+    ones = jnp.ones_like(S[..., :2])
+    S_proj = jnp.concatenate([ones, jnp.zeros_like(S[..., :1])], axis=-1)
+    return U @ (S_proj[..., None] * Vt)
+
+
+def homography_ray_dlt(r1, r2, weights=None):
+    """Ray-space homography H with r2 ~ H r1 (spherical pairs).
+
+    Each correspondence contributes the three rows of [r2]_x H r1 = 0 (two
+    independent); the DLT stacks all of them. r1, r2: (..., N, 3) unit rays.
+    Returns (..., 3, 3) with unit Frobenius norm.
+    """
+    x2, y2, z2 = r2[..., 0], r2[..., 1], r2[..., 2]
+    # Rows of the cross-product constraint [r2]_x (H r1) = 0, kron'd with r1.
+    cross = jnp.stack(
+        [
+            jnp.stack([jnp.zeros_like(z2), -z2, y2], axis=-1),
+            jnp.stack([z2, jnp.zeros_like(z2), -x2], axis=-1),
+            jnp.stack([-y2, x2, jnp.zeros_like(z2)], axis=-1),
+        ],
+        axis=-2,
+    )  # (..., N, 3, 3)
+    A = (cross[..., :, :, None] * r1[..., None, None, :]).reshape(
+        r1.shape[:-2] + (3 * r1.shape[-2], 9)
+    )
+    if weights is not None:
+        w3 = jnp.repeat(weights, 3, axis=-1)
+        A = A * w3[..., None]
+    h = _smallest_right_singular(A)
+    H = h.reshape(h.shape[:-1] + (3, 3))
+    norm = jnp.linalg.norm(H.reshape(H.shape[:-2] + (9,)), axis=-1)
+    return H / jnp.maximum(norm, 1e-30)[..., None, None]
+
+
 # ---------------------------------------------------------------------------
 # 5-point essential matrix (Nistér) — TPU-safe batched formulation.
 #
@@ -175,14 +218,38 @@ def _polyval_homog(coeffs, s, c):
     return out
 
 
+def _ray_constraint_matrix(r1, r2):
+    """Rows r2_i ⊗ r1_i of the epipolar system for 3D bearing rays
+    (spherical/omnidirectional cameras): r2ᵀ E r1 = 0."""
+    return (r2[..., :, None] * r1[..., None, :]).reshape(r1.shape[:-1] + (9,))
+
+
 def essential_five_point(x1, x2):
     """Nistér 5-point essential matrix: up to 10 solutions.
 
     x1, x2: (5, 2) *normalized* (calibrated) coordinates; single sample —
     vmap for batches. Returns (10, 3, 3) with NaN padding.
     """
-    dtype = x1.dtype
-    A = _epipolar_constraint_matrix(x1, x2)  # (5, 9)
+    return _essential_five_point_from_constraints(
+        _epipolar_constraint_matrix(x1, x2)
+    )
+
+
+def essential_five_point_rays(r1, r2):
+    """5-point essential matrix from 3D bearing rays (single sample).
+
+    The spherical/omnidirectional variant: only the constraint rows differ,
+    the Nistér polynomial machinery is shared (reference behavior:
+    EstimateSphericalTwoViewGeometry estimates E from CamRayFromImg rays,
+    two_view_geometry.cc:394-470)."""
+    return _essential_five_point_from_constraints(
+        _ray_constraint_matrix(r1, r2)
+    )
+
+
+def _essential_five_point_from_constraints(A):
+    """Shared Nistér solve from a (5, 9) constraint matrix."""
+    dtype = A.dtype
     AtA = A.T @ A
     _, vecs = jnp.linalg.eigh(AtA)
     # 4-dim nullspace basis; E = x E0 + y E1 + z E2 + E3.

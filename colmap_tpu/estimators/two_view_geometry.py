@@ -227,6 +227,19 @@ def estimate_two_view_geometry(
         return estimate_multiple_two_view_geometries(
             camera1, points1, camera2, points2, matches, sub, seed=seed
         )
+    from colmap_tpu.estimators.spherical import (
+        estimate_spherical_two_view_geometry,
+        is_spherical,
+    )
+
+    if is_spherical(camera1) or is_spherical(camera2):
+        # Omnidirectional pairs have no meaningful F/H in image space —
+        # classify via bearing-ray E + ray-space H (reference:
+        # EstimateSphericalTwoViewGeometry, two_view_geometry.cc:394-528).
+        return estimate_spherical_two_view_geometry(
+            camera1, points1, camera2, points2, matches, options, seed=seed
+        )
+
     g = TwoViewGeometry()
     if len(matches) < options.min_num_inliers:
         g.config = int(TwoViewGeometryConfig.DEGENERATE)

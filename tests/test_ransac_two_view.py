@@ -405,3 +405,86 @@ def test_two_view_planar_vs_panoramic_resolution():
     import jax.numpy as jnp
     R_est = np.asarray(rot.quat_to_rotmat(jnp.asarray(g_pano.cam2_from_cam1.quat)))
     np.testing.assert_allclose(R_est, R_gt, atol=1e-3)
+
+
+def _spherical_pair(rng, R_gt, t_gt, n=300, outlier_ratio=0.15):
+    """Equirectangular pair observing random 3D points; returns pixel
+    keypoints + matches."""
+    from colmap_tpu.sensor import models as camera_models
+    import jax.numpy as jnp
+
+    w, h = 2048, 1024
+    mid = int(camera_models.CameraModelId.EQUIRECTANGULAR)
+    cam = Camera.create(1, mid, 0.0, w, h)
+    X = rng.standard_normal((n, 3))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    X *= rng.uniform(2.0, 8.0, (n, 1))
+    X2 = X @ R_gt.T + t_gt
+
+    def project(P):
+        xy, _ = camera_models.img_from_cam(
+            mid, jnp.asarray(cam.params, jnp.float64), jnp.asarray(P),
+            check_cheirality=False,
+        )
+        return np.array(xy)
+
+    x1 = project(X)
+    x2 = project(X2)
+    n_out = int(n * outlier_ratio)
+    out_idx = rng.choice(n, n_out, replace=False)
+    x2[out_idx] = rng.uniform([0, 0], [w, h], (n_out, 2))
+    matches = np.stack([np.arange(n)] * 2, 1).astype(np.uint32)
+    return cam, x1, x2, matches, out_idx
+
+
+def test_spherical_two_view_calibrated():
+    """Equirectangular pair with translation: bearing-ray E RANSAC gives a
+    CALIBRATED config and the correct relative pose (reference:
+    EstimateSphericalTwoViewGeometry, two_view_geometry.cc:394-528)."""
+    rng = np.random.default_rng(12)
+    angle = 0.3
+    c, s = np.cos(angle), np.sin(angle)
+    R_gt = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+    t_gt = np.array([0.8, 0.2, 0.3])
+    cam, x1, x2, matches, out_idx = _spherical_pair(rng, R_gt, t_gt)
+    g = estimate_two_view_geometry(
+        cam, x1, cam, x2, matches,
+        TwoViewGeometryOptions(compute_relative_pose=True,
+                               detect_watermark=False),
+    )
+    assert g.config == int(TwoViewGeometryConfig.CALIBRATED)
+    inl = {int(a) for a, _ in g.inlier_matches}
+    assert len(inl & set(out_idx.tolist())) <= 3
+    assert len(inl) > 0.8 * (len(matches) - len(out_idx))
+    assert g.cam2_from_cam1 is not None
+    from colmap_tpu.geometry import rotation as rot
+    import jax.numpy as jnp
+    R_est = np.asarray(rot.quat_to_rotmat(jnp.asarray(g.cam2_from_cam1.quat)))
+    assert np.abs(R_est - R_gt).max() < 0.02
+    t_dir = t_gt / np.linalg.norm(t_gt)
+    assert min(np.abs(g.cam2_from_cam1.t - t_dir).max(),
+               np.abs(g.cam2_from_cam1.t + t_dir).max()) < 0.05
+    assert g.tri_angle > 0.01
+
+
+def test_spherical_two_view_panoramic():
+    """Pure-rotation equirectangular pair resolves to PANORAMIC with the
+    rotation recovered through the ray-space homography."""
+    rng = np.random.default_rng(13)
+    angle = 0.4
+    c, s = np.cos(angle), np.sin(angle)
+    R_gt = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+    cam, x1, x2, matches, out_idx = _spherical_pair(
+        rng, R_gt, np.zeros(3), outlier_ratio=0.1
+    )
+    g = estimate_two_view_geometry(
+        cam, x1, cam, x2, matches,
+        TwoViewGeometryOptions(compute_relative_pose=True,
+                               detect_watermark=False),
+    )
+    assert g.config == int(TwoViewGeometryConfig.PANORAMIC)
+    assert g.tri_angle == 0.0
+    from colmap_tpu.geometry import rotation as rot
+    import jax.numpy as jnp
+    R_est = np.asarray(rot.quat_to_rotmat(jnp.asarray(g.cam2_from_cam1.quat)))
+    assert np.abs(R_est - R_gt).max() < 0.01
