@@ -644,6 +644,9 @@ def build_parser() -> argparse.ArgumentParser:
         prog="colmap_tpu",
         description="TPU-native SfM/MVS with COLMAP-compatible data formats",
     )
+    p.add_argument("--log_level", type=int, default=0,
+                   help="VLOG verbosity: 0 info, 1/2 increasing detail "
+                        "(reference: glog --v)")
     sub = p.add_subparsers(dest="command", required=True)
 
     c = sub.add_parser("automatic_reconstructor")
@@ -847,6 +850,9 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     parser = build_parser()
     args = parser.parse_args(argv)
+    from colmap_tpu.utils import logging as _logging
+
+    _logging.set_verbosity(getattr(args, "log_level", 0))
     args.fn(args)
 
 

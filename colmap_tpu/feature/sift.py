@@ -216,16 +216,25 @@ def _orientations_and_descriptors(gauss, xs, ys, scales, sigmas, valid,
 
     NBINS_ORI = 36
 
-    def bilinear(field, yy, xx):
-        """Bilinear sample of (H, W) field at float coords (broadcast)."""
+    # Flattened gradient stacks for per-keypoint sampling. Indexing the 3D
+    # stack as gx[lvl] with a per-keypoint traced level makes XLA:TPU
+    # materialize one (H, W) image slice PER KEYPOINT (a multi-GB
+    # intermediate); linear indices into the flat array lower to a plain
+    # elementwise gather instead.
+    gx_flat = gx.reshape(-1)
+    gy_flat = gy.reshape(-1)
+
+    def bilinear_lvl(flat_field, lvl, yy, xx):
+        """Bilinear sample of level `lvl` of a flattened (S3*H*W,) stack."""
         y0 = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, H - 2)
         x0 = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, W - 2)
         fy = jnp.clip(yy - y0, 0.0, 1.0)
         fx = jnp.clip(xx - x0, 0.0, 1.0)
-        v00 = field[y0, x0]
-        v01 = field[y0, x0 + 1]
-        v10 = field[y0 + 1, x0]
-        v11 = field[y0 + 1, x0 + 1]
+        base = lvl * (H * W) + y0 * W + x0
+        v00 = flat_field[base]
+        v01 = flat_field[base + 1]
+        v10 = flat_field[base + W]
+        v11 = flat_field[base + W + 1]
         return (
             v00 * (1 - fy) * (1 - fx)
             + v01 * (1 - fy) * fx
@@ -243,8 +252,8 @@ def _orientations_and_descriptors(gauss, xs, ys, scales, sigmas, valid,
         pv = jnp.broadcast_to(win[None, :], (2 * R, 2 * R))  # patch x (col)
         dx = W[0, 0] * pv + W[0, 1] * pu
         dy = W[1, 0] * pv + W[1, 1] * pu
-        sgx = bilinear(gx[lvl], y + dy, x + dx)
-        sgy = bilinear(gy[lvl], y + dy, x + dx)
+        sgx = bilinear_lvl(gx_flat, lvl, y + dy, x + dx)
+        sgy = bilinear_lvl(gy_flat, lvl, y + dy, x + dx)
         gv = W[0, 0] * sgx + W[1, 0] * sgy
         gu = W[0, 1] * sgx + W[1, 1] * sgy
         m = jnp.sqrt(gv * gv + gu * gu + 1e-20)
@@ -335,8 +344,8 @@ def _orientations_and_descriptors(gauss, xs, ys, scales, sigmas, valid,
             pv = jnp.broadcast_to(win[None, :], (2 * R, 2 * R))
             dx = W[0, 0] * pv + W[0, 1] * pu
             dy = W[1, 0] * pv + W[1, 1] * pu
-            sgx = bilinear(gx[lvl], y + dy, x + dx)
-            sgy = bilinear(gy[lvl], y + dy, x + dx)
+            sgx = bilinear_lvl(gx_flat, lvl, y + dy, x + dx)
+            sgy = bilinear_lvl(gy_flat, lvl, y + dy, x + dx)
             # Patch-frame gradients: Aᵀ ∇I (the sigma factor is a common
             # scalar and cancels in the normalized shape update).
             gv = A[0, 0] * sgx + A[1, 0] * sgy

@@ -38,6 +38,7 @@ from colmap_tpu.scene.types import (
 )
 from colmap_tpu.sensor import models as camera_models
 from colmap_tpu.utils.types import pair_id_to_image_pair
+from colmap_tpu.utils import logging
 
 
 @dataclasses.dataclass
@@ -70,7 +71,7 @@ class GlobalMapper:
 
     def _log(self, options, msg):
         if options.verbose:
-            print(msg)
+            logging.info("%s", msg)
 
     # ------------------------------------------------------------------
     def solve(

@@ -18,6 +18,7 @@ from colmap_tpu.scene.reconstruction import Reconstruction
 from colmap_tpu.scene.types import Pose, TwoViewGeometryConfig
 from colmap_tpu.sfm.global_mapper import GlobalMapper, GlobalMapperOptions
 from colmap_tpu.utils.types import image_pair_to_pair_id
+from colmap_tpu.utils import logging
 
 
 @dataclasses.dataclass
@@ -46,7 +47,7 @@ class GlobalPipeline:
         rel_poses: Dict[int, Pose] = graph.rel_poses()
 
         if self.options.verbose:
-            print(f"Collected {len(rel_poses)} relative poses")
+            logging.info("Collected %d relative poses", len(rel_poses))
         recon = Reconstruction()
         mapper = GlobalMapper(cache)
         ok = mapper.solve(recon, rel_poses, self.options.mapper)

@@ -22,6 +22,7 @@ from colmap_tpu.sfm.incremental_pipeline import (
     IncrementalPipeline,
     IncrementalPipelineOptions,
 )
+from colmap_tpu.utils import logging
 
 
 @dataclasses.dataclass
@@ -100,7 +101,7 @@ class HierarchicalPipeline:
                 weights[(id1, id2)] = float(len(g.inlier_matches))
         clusters = cluster_scene(image_ids, weights, self.options.clustering)
         if self.options.verbose:
-            print(f"Clustered {len(image_ids)} images into {len(clusters)} leaves")
+            logging.info("Clustered %d images into %d leaves", len(image_ids), len(clusters))
 
         # Reconstruct each leaf independently (cluster-per-host on TPU pods).
         subs: List[Reconstruction] = []
@@ -125,7 +126,7 @@ class HierarchicalPipeline:
             if ok:
                 subs.append(recon)
                 if self.options.verbose:
-                    print(f"  leaf {ci}: {recon.num_reg_frames()} frames")
+                    logging.info("  leaf %d: %d frames", ci, recon.num_reg_frames())
 
         if not subs:
             return []

@@ -20,6 +20,7 @@ from colmap_tpu.scene.database_cache import DatabaseCache
 from colmap_tpu.scene.reconstruction import Reconstruction
 from colmap_tpu.sfm.incremental_mapper import IncrementalMapper, IncrementalMapperOptions
 from colmap_tpu.sfm.incremental_triangulator import TriangulatorOptions
+from colmap_tpu.utils import logging
 
 
 @dataclasses.dataclass
@@ -62,9 +63,15 @@ class IncrementalPipeline:
 
     def _log(self, msg):
         if self.options.verbose:
-            print(msg)
+            logging.info("%s", msg)
 
     def run(self) -> List[Reconstruction]:
+        # Whole-run wall clock (reference: Timer + PrintMinutes around
+        # IncrementalPipeline::Run, incremental_pipeline.cc:382,447).
+        run_timer = logging.Timer()
+        run_timer.start()
+        if self.options.verbose:
+            logging.log_heading("Loading database")
         cache = DatabaseCache.create(
             self.database,
             min_num_matches=self.options.min_num_matches,
@@ -89,6 +96,8 @@ class IncrementalPipeline:
                 break
         # Sort largest first (reference: ReconstructionManager ordering).
         self.reconstructions.sort(key=lambda r: -r.num_reg_frames())
+        if self.options.verbose:
+            run_timer.print_minutes()
         return self.reconstructions
 
     # ------------------------------------------------------------------

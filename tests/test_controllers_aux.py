@@ -81,3 +81,47 @@ def test_render_images_consistent(tmp_path):
         img = np.asarray(PILImage.open(tmp_path / n))
         assert img.shape == (480, 640)
         assert img.max() > 50  # content present
+
+
+def test_logging_and_timer():
+    """Logging/Timer utilities (reference: util/logging.h LOG_HEADING,
+    util/timer.{h,cc})."""
+    import io
+    import logging as pylogging
+    import time
+
+    from colmap_tpu.utils import logging as clog
+
+    buf = io.StringIO()
+    h = pylogging.StreamHandler(buf)
+    h.setFormatter(pylogging.Formatter("%(message)s"))
+    logger = pylogging.getLogger("colmap_tpu")
+    logger.addHandler(h)
+    try:
+        clog.set_verbosity(1)
+        clog.log_heading("Phase A")
+        clog.vlog(1, "detail %d", 42)
+        clog.vlog(2, "hidden")
+        clog.set_verbosity(0)
+        clog.vlog(1, "also hidden")
+        t = clog.Timer()
+        t.start()
+        time.sleep(0.01)
+        assert t.elapsed_seconds() >= 0.009
+        t.pause()
+        e1 = t.elapsed_seconds()
+        time.sleep(0.01)
+        assert t.elapsed_seconds() == e1
+        t.resume()
+        t.print_minutes()
+        with clog.ScopedTimer("phase"):
+            pass
+        out = buf.getvalue()
+        assert "=== Phase A ===" in out
+        assert "detail 42" in out
+        assert "hidden" not in out
+        assert "Elapsed time:" in out and "[minutes]" in out
+        assert "phase:" in out
+    finally:
+        logger.removeHandler(h)
+        clog.set_verbosity(0)
