@@ -225,15 +225,27 @@ def _match_and_verify_pairs(
     pairs: Sequence[Tuple[int, int]],
     options: MatchingPipelineOptions,
 ):
+    import jax.numpy as _jnp
+
     cameras = database.read_cameras()
     images = {iid: (name, cid) for (iid, name, cid) in database.read_images()}
     desc_cache: Dict[int, np.ndarray] = {}
+    desc_dev_cache: Dict[int, object] = {}
     kp_cache: Dict[int, np.ndarray] = {}
 
     def get_desc(iid):
         if iid not in desc_cache:
             desc_cache[iid] = database.read_descriptors(iid)
         return desc_cache[iid]
+
+    def get_desc_dev(iid):
+        """Device-resident descriptors: each image uploads once per block
+        instead of once per pair (host<->device bandwidth is the matcher's
+        bottleneck — reference analog: FeatureMatcherCache,
+        controllers/matcher_cache.h:49-63)."""
+        if iid not in desc_dev_cache:
+            desc_dev_cache[iid] = _jnp.asarray(get_desc(iid))
+        return desc_dev_cache[iid]
 
     def get_kp(iid):
         if iid not in kp_cache:
@@ -269,7 +281,9 @@ def _match_and_verify_pairs(
                 lightglue_params, lg_opts,
             )
         else:
-            matches = match_descriptors(d1, d2, options.matching)
+            matches = match_descriptors(
+                get_desc_dev(id1), get_desc_dev(id2), options.matching
+            )
         database.write_matches(id1, id2, matches)
         if len(matches) < options.min_num_inliers:
             continue

@@ -39,6 +39,16 @@ def _normalize_desc(d):
     return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
 
 
+def _best_two(sim):
+    """(best, second-best, argmax) per row via two VPU max passes."""
+    idx = jnp.argmax(sim, axis=1)
+    best = jnp.take_along_axis(sim, idx[:, None], axis=1)[:, 0]
+    cols = jnp.arange(sim.shape[1])
+    masked = jnp.where(cols[None, :] == idx[:, None], -jnp.inf, sim)
+    second = jnp.max(masked, axis=1)
+    return best, second, idx
+
+
 @partial(jax.jit, static_argnames=("options",))
 def match_similarity(
     d1, d2, mask1, mask2, options: MatchingOptions = MatchingOptions()
@@ -55,11 +65,10 @@ def match_similarity(
     neg = -jnp.inf
     sim = jnp.where(mask1[:, None] & mask2[None, :], sim, neg)
 
-    # Best and second best per row.
-    best2, best_idx2 = jax.lax.top_k(sim, 2)  # (N, 2)
-    best_sim = best2[:, 0]
-    second_sim = best2[:, 1]
-    idx2 = best_idx2[:, 0]
+    # Best and second best per row. Two max passes instead of
+    # jax.lax.top_k(sim, 2): XLA:TPU lowers top_k to a full row sort of the
+    # (N, M) similarity matrix, which dominates the whole matcher.
+    best_sim, second_sim, idx2 = _best_two(sim)
 
     # Angle distances (arccos of similarity), as the reference's
     # FindBestMatchesOneWay.
@@ -128,17 +137,17 @@ def match_guided_similarity(
     sim = jnp.where(
         geo_ok & mask1[:, None] & mask2[None, :], sim, -jnp.inf
     )
-    best2, best_idx2 = jax.lax.top_k(sim, 2)
-    dist_best = jnp.arccos(jnp.clip(best2[:, 0], -1.0, 1.0))
-    dist_second = jnp.arccos(jnp.clip(best2[:, 1], -1.0, 1.0))
-    ok = jnp.isfinite(best2[:, 0])
+    best_sim, second_sim, idx2 = _best_two(sim)
+    dist_best = jnp.arccos(jnp.clip(best_sim, -1.0, 1.0))
+    dist_second = jnp.arccos(jnp.clip(second_sim, -1.0, 1.0))
+    ok = jnp.isfinite(best_sim)
     ok &= dist_best <= options.max_distance
     ok &= dist_best <= options.max_ratio * dist_second
     if options.cross_check:
         best_idx1 = jnp.argmax(sim, axis=0)
-        ok &= jnp.take(best_idx1, best_idx2[:, 0]) == jnp.arange(sim.shape[0])
+        ok &= jnp.take(best_idx1, idx2) == jnp.arange(sim.shape[0])
     ok &= mask1
-    return best_idx2[:, 0], ok
+    return idx2, ok
 
 
 def match_guided(

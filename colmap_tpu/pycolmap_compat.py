@@ -232,3 +232,297 @@ def compare_reconstructions(recon1, recon2, **kwargs):
     from colmap_tpu.estimators.alignment import compare_reconstructions as _cmp
 
     return _cmp(recon1, recon2)
+
+
+def match_spatial(database_path: str, **kwargs):
+    """reference: pycolmap.match_spatial (GPS/prior kNN pairing +
+    match+verify; pycolmap/pipeline/match_features.cc)."""
+    from colmap_tpu.cli.extra_commands import _prior_positions_enu
+    from colmap_tpu.controllers.feature_pipeline import run_matches_import
+    from colmap_tpu.feature.pairing import SpatialPairingOptions, spatial_pairs
+
+    db = Database(database_path)
+    ids, pos = _prior_positions_enu(db)
+    if len(ids) < 2:
+        db.close()
+        return 0
+    opts = SpatialPairingOptions(
+        max_num_neighbors=kwargs.get("max_num_neighbors", 50),
+        max_distance=kwargs.get("max_distance", 100.0),
+        ignore_z=kwargs.get("ignore_z", True),
+    )
+    pairs = spatial_pairs(ids, pos, opts)
+    n = run_matches_import(db, pairs)
+    db.close()
+    return n
+
+
+def match_vocabtree(database_path: str, vocab_tree_path: str = "", **kwargs):
+    """reference: pycolmap.match_vocabtree (retrieval pairing + match+verify)."""
+    from colmap_tpu.cli.extra_commands import (
+        _load_or_train_index,
+        _read_all_descriptors,
+    )
+    from colmap_tpu.controllers.feature_pipeline import run_matches_import
+    from colmap_tpu.utils.types import image_pair_to_pair_id
+
+    db = Database(database_path)
+    desc = _read_all_descriptors(
+        db, max_per_image=kwargs.get("max_num_features", None)
+    )
+    index = _load_or_train_index(vocab_tree_path, desc)
+    pairs, seen = [], set()
+    num_images = kwargs.get("num_images", 10)
+    for iid, d in desc.items():
+        for r in index.query(d, num_images, exclude_image_id=iid):
+            key = image_pair_to_pair_id(iid, r.image_id)
+            if key not in seen:
+                seen.add(key)
+                pairs.append((min(iid, r.image_id), max(iid, r.image_id)))
+    n = run_matches_import(db, pairs)
+    db.close()
+    return n
+
+
+def match_image_pairs(database_path: str, pairs, **kwargs):
+    """reference: pycolmap.match_image_pairs — match+verify an explicit
+    pair list (names or ids)."""
+    from colmap_tpu.controllers.feature_pipeline import run_matches_import
+
+    db = Database(database_path)
+    name_to_id = {name: iid for (iid, name, _) in db.read_images()}
+    id_pairs = []
+    for a, b in pairs:
+        ia = name_to_id.get(a, a)
+        ib = name_to_id.get(b, b)
+        id_pairs.append((int(ia), int(ib)))
+    n = run_matches_import(db, id_pairs)
+    db.close()
+    return n
+
+
+def geometric_verification(database_path: str, pairs=None, **kwargs):
+    """reference: pycolmap.geometric_verification — re-verify existing
+    matches into two_view_geometries."""
+    from colmap_tpu.controllers.feature_pipeline import run_matches_import
+    from colmap_tpu.utils.types import pair_id_to_image_pair
+
+    db = Database(database_path)
+    if pairs is None:
+        pairs = [
+            pair_id_to_image_pair(pid) for (pid, _m) in db.read_all_matches()
+        ]
+    n = run_matches_import(db, pairs)
+    db.close()
+    return n
+
+
+def guided_geometric_verification(database_path: str, pairs=None, **kwargs):
+    """reference: pycolmap.guided_geometric_verification."""
+    from colmap_tpu.controllers.feature_pipeline import (
+        MatchingPipelineOptions,
+        run_matches_import,
+    )
+    from colmap_tpu.utils.types import pair_id_to_image_pair
+
+    db = Database(database_path)
+    if pairs is None:
+        pairs = [
+            pair_id_to_image_pair(pid) for (pid, _m) in db.read_all_matches()
+        ]
+    n = run_matches_import(
+        db, pairs, MatchingPipelineOptions(guided_matching=True)
+    )
+    db.close()
+    return n
+
+
+def hierarchical_mapping(
+    database_path: str,
+    image_path: str = "",
+    output_path: Optional[str] = None,
+    **kwargs,
+):
+    """reference: pycolmap.hierarchical_mapping."""
+    from colmap_tpu.sfm.hierarchical_pipeline import (
+        HierarchicalPipeline,
+        HierarchicalPipelineOptions,
+    )
+
+    db = Database(database_path)
+    pipe = HierarchicalPipeline(HierarchicalPipelineOptions(), db)
+    recons = pipe.run()
+    db.close()
+    if output_path is not None:
+        os.makedirs(output_path, exist_ok=True)
+        for i, recon in enumerate(recons):
+            write_model(recon, os.path.join(output_path, str(i)), fmt="bin")
+    return {i: r for i, r in enumerate(recons)}
+
+
+def import_images(
+    database_path: str,
+    image_path: str,
+    camera_mode=None,
+    image_names=None,
+    **kwargs,
+):
+    """reference: pycolmap.import_images — register image rows (+ cameras
+    from EXIF) in the database without extracting features."""
+    from colmap_tpu.controllers.feature_pipeline import ImageReaderOptions
+
+    db = Database(database_path)
+    if image_names is None:
+        image_names = sorted(
+            f for f in os.listdir(image_path)
+            if f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff"))
+        )
+    opts = ImageReaderOptions()
+    image_ids = []
+    shared_camera_id = None
+    for name in image_names:
+        path = os.path.join(image_path, name)
+        cam = infer_camera_from_image(path, options=opts)
+        if camera_mode in (None, "SINGLE") and shared_camera_id is not None:
+            camera_id = shared_camera_id
+        else:
+            cam.camera_id = len(db.read_cameras()) + 1
+            camera_id = db.write_camera(cam)
+            if camera_mode in (None, "SINGLE"):
+                shared_camera_id = camera_id
+        image_ids.append(db.write_image(name, camera_id))
+    db.commit()
+    db.close()
+    return image_ids
+
+
+def infer_camera_from_image(image_path: str, options=None):
+    """reference: pycolmap.infer_camera_from_image — camera model + focal
+    prior from EXIF (or default focal heuristic)."""
+    from PIL import Image as PILImage
+
+    from colmap_tpu.controllers.feature_pipeline import ImageReaderOptions
+    from colmap_tpu.sensor import models as cm
+    from colmap_tpu.utils.exif import read_exif
+
+    from colmap_tpu.sensor.specs import focal_length_px_from_exif
+
+    opts = options or ImageReaderOptions()
+    with PILImage.open(image_path) as im:
+        width, height = im.size
+    exif = read_exif(image_path)
+    model_id = cm.MODEL_NAME_TO_ID[opts.camera_model]
+    focal, has_prior = focal_length_px_from_exif(
+        exif, width, height, opts.default_focal_length_factor
+    )
+    cam = Camera.create(0, model_id, focal, width, height)
+    cam.has_prior_focal_length = has_prior
+    return cam
+
+
+def calibrate_view_graph(database_path: str, **kwargs):
+    """reference: pycolmap.calibrate_view_graph (view-graph focal
+    calibration over UNCALIBRATED pairs)."""
+    from colmap_tpu.estimators.view_graph_calibration import (
+        calibrate_view_graph as _cal,
+    )
+    from colmap_tpu.sensor import models as cm
+
+    db = Database(database_path)
+    cameras = db.read_cameras()
+    images = {iid: cid for (iid, _, cid) in db.read_images()}
+    edges = []
+    for (id1, id2, g) in db.read_all_two_view_geometries():
+        if g is None or g.F is None or id1 not in images or id2 not in images:
+            continue
+        edges.append((images[id1], images[id2], g.F))
+    camera_ids = sorted(cameras.keys())
+    prior_focals = {
+        cid: float(cm.mean_focal_length(cameras[cid].model_id, cameras[cid].params))
+        for cid in camera_ids
+    }
+    pps = {}
+    for cid in camera_ids:
+        pp = cm.principal_point_idxs(int(cameras[cid].model_id))
+        pps[cid] = (
+            float(cameras[cid].params[pp[0]]),
+            float(cameras[cid].params[pp[1]]),
+        )
+    out = _cal(camera_ids, prior_focals, pps, edges)
+    db.close()
+    return out
+
+
+def undistort_images(
+    output_path: str,
+    input_path: str,
+    image_path: str,
+    **kwargs,
+):
+    """reference: pycolmap.undistort_images (COLMAP-layout MVS workspace)."""
+    from colmap_tpu.cli.main import _cmd_image_undistorter
+
+    class _Args:
+        pass
+
+    args = _Args()
+    args.image_path = image_path
+    args.input_path = input_path
+    args.output_path = output_path
+    args.output_type = kwargs.get("output_type", "COLMAP")
+    _cmd_image_undistorter(args)
+
+
+def patch_match_stereo(workspace_path: str, **kwargs):
+    """reference: pycolmap.patch_match_stereo."""
+    from PIL import Image as PILImage
+
+    from colmap_tpu.mvs.workspace import run_patch_match_workspace
+    from colmap_tpu.scene.reconstruction_io import read_model
+
+    recon = read_model(os.path.join(workspace_path, "sparse"))
+    images = {}
+    for iid in recon.reg_image_ids():
+        name = recon.images[iid].name
+        p = os.path.join(workspace_path, "images", name)
+        if os.path.exists(p):
+            images[iid] = (
+                np.asarray(PILImage.open(p).convert("L"), dtype=np.float32)
+                / 255.0
+            )
+    return run_patch_match_workspace(
+        recon, images, workspace_path,
+        geom_consistency=kwargs.get("geom_consistency", False),
+        write_consistency_graph=kwargs.get("write_consistency_graph", False),
+    )
+
+
+def stereo_fusion(output_path: str, workspace_path: str, **kwargs):
+    """reference: pycolmap.stereo_fusion."""
+    from colmap_tpu.mvs.workspace import run_fusion_workspace
+    from colmap_tpu.scene.reconstruction_io import read_model
+
+    recon = read_model(os.path.join(workspace_path, "sparse"))
+    pts, normals, vis = run_fusion_workspace(recon, workspace_path, output_path)
+    return {"num_points": len(pts)}
+
+
+def poisson_meshing(input_path: str, output_path: str, **kwargs):
+    """reference: pycolmap.poisson_meshing (fused PLY -> mesh)."""
+    from colmap_tpu.mvs.meshing import poisson_mesh
+    from colmap_tpu.utils.ply import read_ply, write_ply_mesh
+
+    cloud = read_ply(input_path)
+    verts, faces, _colors = poisson_mesh(cloud["points"], cloud.get("normals"))
+    write_ply_mesh(output_path, verts, faces)
+    return {"num_vertices": len(verts), "num_faces": len(faces)}
+
+
+def set_random_seed(seed: int):
+    """reference: pycolmap.set_random_seed — stored for pipelines that take
+    explicit seeds (JAX keys thread seeds explicitly; this sets the default)."""
+    global _default_seed
+    _default_seed = int(seed)
+
+
+_default_seed = 0

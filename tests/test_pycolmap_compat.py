@@ -65,3 +65,43 @@ def test_estimate_absolute_pose_api():
     result = pycolmap.estimate_and_refine_absolute_pose(np.asarray(xy), X, cam)
     assert result is not None
     assert result["cam_from_world"].angle_to(pose_gt) < np.deg2rad(0.05)
+
+
+def test_pipeline_wrapper_surface():
+    """Every pipeline function the reference pycolmap exposes has a
+    counterpart here (reference: src/pycolmap/pipeline/*.cc)."""
+    import colmap_tpu.pycolmap_compat as pc
+
+    for name in [
+        "extract_features", "match_exhaustive", "match_sequential",
+        "match_spatial", "match_vocabtree", "match_image_pairs",
+        "verify_matches", "geometric_verification",
+        "guided_geometric_verification", "incremental_mapping",
+        "hierarchical_mapping", "bundle_adjustment", "triangulate_points",
+        "import_images", "infer_camera_from_image", "calibrate_view_graph",
+        "undistort_images", "patch_match_stereo", "stereo_fusion",
+        "poisson_meshing", "set_random_seed",
+    ]:
+        assert callable(getattr(pc, name)), name
+
+
+def test_geometric_verification_api(tmp_path):
+    """geometric_verification re-verifies stored matches into
+    two_view_geometries (reference: pycolmap.verify_matches /
+    geometric_verification bindings)."""
+    db_path = str(tmp_path / "db.db")
+    opt = SyntheticDatasetOptions(
+        num_rigs=1, num_frames_per_rig=4, num_points3D=80, seed=9,
+        camera_has_prior_focal_length=True,
+    )
+    db = pycolmap.Database(db_path)
+    synthesize_dataset(opt, database=db)
+    # Wipe verified geometries to force re-verification.
+    db.conn.execute("DELETE FROM two_view_geometries")
+    db.commit()
+    db.close()
+    n = pycolmap.geometric_verification(db_path)
+    assert n > 0
+    db = pycolmap.Database(db_path)
+    assert sum(1 for _ in db.read_all_two_view_geometries()) == n
+    db.close()
