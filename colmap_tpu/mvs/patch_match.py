@@ -169,71 +169,81 @@ def _per_view_costs(problem: PatchMatchProblem, depth, normal,
     gy, gx, ray = _pixel_rays(problem, dtype)
     ray0 = ray(gy, gx)  # (H, W, 3)
 
-    offsets = [
-        (dy, dx)
-        for dy in range(-R, R + 1, step)
-        for dx in range(-R, R + 1, step)
-    ]
+    offsets = np.array(
+        [
+            (dy, dx)
+            for dy in range(-R, R + 1, step)
+            for dx in range(-R, R + 1, step)
+        ]
+    )
 
-    # Reference window samples + bilateral weights.
+    # Reference window samples via static edge-replicated shifts (integer
+    # offsets — pad+slice, no gathers) + bilateral weights.
+    ref_pad = jnp.pad(problem.ref_image, R, mode="edge")
     ref_center = problem.ref_image
-    ref_samples = []
-    weights = []
-    for (dy, dx) in offsets:
-        ry = jnp.clip(gy + dy, 0, H - 1)
-        rx = jnp.clip(gx + dx, 0, W - 1)
-        val = _bilinear(problem.ref_image, ry, rx)
-        ref_samples.append(val)
-        w_sp = np.exp(-(dy * dy + dx * dx) / (2 * options.sigma_spatial**2))
-        w_col = jnp.exp(
-            -((val - ref_center) ** 2) / (2 * options.sigma_color**2)
-        )
-        weights.append(w_sp * w_col)
-    ref_stack = jnp.stack(ref_samples)  # (K, H, W)
-    w_stack = jnp.stack(weights)
+    ref_stack = jnp.stack(
+        [
+            ref_pad[R + dy : R + dy + H, R + dx : R + dx + W]
+            for (dy, dx) in offsets
+        ]
+    )  # (K, H, W)
+    w_sp = jnp.asarray(
+        np.exp(-np.sum(offsets.astype(np.float64) ** 2, axis=1)
+               / (2 * options.sigma_spatial**2)),
+        dtype,
+    )
+    w_stack = w_sp[:, None, None] * jnp.exp(
+        -((ref_stack - ref_center[None]) ** 2) / (2 * options.sigma_color**2)
+    )  # (K, H, W)
     w_sum = jnp.sum(w_stack, axis=0) + 1e-8
 
-    costs = []
-    for s in range(S):
-        Rr = problem.R_rel[s]
-        tr = problem.t_rel[s]
-        Ks = problem.K_src[s]
-        src = problem.src_images[s]
+    # Plane-induced 3D points for every window offset at once. The offset
+    # ray is linear in the offset — ray(y+dy, x+dx) = ray0 + dx·K⁻¹e₀ +
+    # dy·K⁻¹e₁ — so all K rays are two broadcast multiply-adds, and the
+    # expensive source sampling becomes ONE batched bilinear gather per view
+    # over (K·H·W) positions instead of K separate small gathers (small
+    # gathers are the dominant cost on TPU).
+    Kinv = jnp.linalg.inv(problem.K_ref).astype(dtype)
+    doffs = jnp.asarray(offsets, dtype)  # (K, 2) as (dy, dx)
+    r_all = (
+        ray0[None]
+        + doffs[:, 1, None, None, None] * Kinv[:, 0]
+        + doffs[:, 0, None, None, None] * Kinv[:, 1]
+    )  # (K, H, W, 3)
+    d_all = _plane_depth_at(depth[None], normal[None], ray0[None], r_all)
+    X_all = r_all * d_all[..., None]  # (K, H, W, 3)
 
-        src_samples = []
-        for (dy, dx), ref_val in zip(offsets, ref_samples):
-            py = gy + dy
-            px = gx + dx
-            r = ray(py, px)
-            d = _plane_depth_at(depth, normal, ray0, r)
-            X = r * d[..., None]
-            Xs = jnp.einsum("ij,...j->...i", Rr, X) + tr
-            ps = jnp.einsum("ij,...j->...i", Ks, Xs)
-            z = jnp.where(jnp.abs(ps[..., 2]) < 1e-8, 1e-8, ps[..., 2])
-            sx = ps[..., 0] / z
-            sy = ps[..., 1] / z
-            inb = (sx >= 0) & (sx <= W - 1) & (sy >= 0) & (sy <= H - 1) & (ps[..., 2] > 0)
-            val = _bilinear(src, jnp.clip(sy, 0, H - 1), jnp.clip(sx, 0, W - 1))
-            src_samples.append(jnp.where(inb, val, jnp.nan))
-        src_stack = jnp.stack(src_samples)  # (K, H, W)
+    def per_view(Rr, tr, Ks, src):
+        Xs = jnp.einsum("ij,khwj->khwi", Rr, X_all) + tr
+        ps = jnp.einsum("ij,khwj->khwi", Ks, Xs)
+        z = jnp.where(jnp.abs(ps[..., 2]) < 1e-8, 1e-8, ps[..., 2])
+        sx = ps[..., 0] / z
+        sy = ps[..., 1] / z
+        inb = (
+            (sx >= 0) & (sx <= W - 1) & (sy >= 0) & (sy <= H - 1)
+            & (ps[..., 2] > 0)
+        )
+        val = _bilinear(src, jnp.clip(sy, 0, H - 1), jnp.clip(sx, 0, W - 1))
+        src_stack = jnp.where(inb, val, 0.0)  # (K, H, W)
 
-        ok = jnp.isfinite(src_stack)
-        w_eff = jnp.where(ok, w_stack, 0.0)
+        w_eff = jnp.where(inb, w_stack, 0.0)
         w_eff_sum = jnp.sum(w_eff, axis=0) + 1e-8
-        src_f = jnp.where(ok, src_stack, 0.0)
         # Weighted NCC.
         mu_r = jnp.sum(w_eff * ref_stack, axis=0) / w_eff_sum
-        mu_s = jnp.sum(w_eff * src_f, axis=0) / w_eff_sum
+        mu_s = jnp.sum(w_eff * src_stack, axis=0) / w_eff_sum
         var_r = jnp.sum(w_eff * (ref_stack - mu_r) ** 2, axis=0) / w_eff_sum
-        var_s = jnp.sum(w_eff * (src_f - mu_s) ** 2, axis=0) / w_eff_sum
-        cov = jnp.sum(w_eff * (ref_stack - mu_r) * (src_f - mu_s), axis=0) / w_eff_sum
+        var_s = jnp.sum(w_eff * (src_stack - mu_s) ** 2, axis=0) / w_eff_sum
+        cov = jnp.sum(
+            w_eff * (ref_stack - mu_r) * (src_stack - mu_s), axis=0
+        ) / w_eff_sum
         ncc = cov / jnp.sqrt(jnp.maximum(var_r * var_s, 1e-10))
         frac_valid = jnp.sum(w_eff, axis=0) / w_sum
         cost = 1.0 - jnp.clip(ncc, -1.0, 1.0)
-        cost = jnp.where(frac_valid > 0.5, cost, 2.0)
-        costs.append(cost)
+        return jnp.where(frac_valid > 0.5, cost, 2.0)
 
-    cost_all = jnp.stack(costs)  # (S, H, W)
+    cost_all = jax.vmap(per_view)(
+        problem.R_rel, problem.t_rel, problem.K_src, problem.src_images
+    )  # (S, H, W)
 
     if problem.src_depths is not None:
         geom = _geom_consistency_cost(problem, depth)

@@ -61,6 +61,13 @@ def merge_reconstructions(
                 dst.add_rig(src.rigs[frame2.rig_id])
             if frame2.frame_id not in dst.frames:
                 dst.add_frame(frame2)
+            elif not dst.frames[frame2.frame_id].has_pose():
+                # The frame container can already exist in dst (e.g. another
+                # image of the same rig frame) while still unposed — adopt
+                # the aligned pose from src before registering.
+                dst.frames[frame2.frame_id].rig_from_world = (
+                    frame2.rig_from_world
+                )
             new_img = copy.deepcopy(img2)
             new_img.points2D_p3d[:] = -1
             dst.add_image(new_img)
