@@ -331,21 +331,17 @@ def _cmd_image_undistorter(args):
 
 
 def _cmd_patch_match_stereo(args):
-    from PIL import Image as PILImage
-
-    from colmap_tpu.mvs.workspace import run_patch_match_workspace
+    from colmap_tpu.mvs.workspace import (
+        CachedWorkspace,
+        run_patch_match_workspace,
+    )
     from colmap_tpu.scene.reconstruction_io import read_model
 
     ws = args.workspace_path
     recon = read_model(os.path.join(ws, "sparse"))
-    images = {}
-    for iid in recon.reg_image_ids():
-        name = recon.images[iid].name
-        p = os.path.join(ws, "images", name)
-        if os.path.exists(p):
-            images[iid] = (
-                np.asarray(PILImage.open(p).convert("L"), dtype=np.float32) / 255.0
-            )
+    # Memory-bounded streaming of image pages (reference: Workspace
+    # cache_size GB option, mvs/workspace.h:46-136).
+    images = CachedWorkspace(ws, cache_size_gb=args.cache_size).image_map(recon)
     problems = run_patch_match_workspace(
         recon, images, ws, geom_consistency=args.geom_consistency,
         write_consistency_graph=args.write_consistency_graph,
@@ -755,6 +751,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--write_consistency_graph", action="store_true",
                    help="write per-pixel consistent-view lists "
                         "(reference: --PatchMatchStereo.write_consistency_graph)")
+    c.add_argument("--cache_size", type=float, default=32.0,
+                   help="image page cache budget in GB "
+                        "(reference: --PatchMatchStereo.cache_size)")
     c.add_argument("--workspace_path", required=True)
     c.set_defaults(fn=_cmd_patch_match_stereo)
 

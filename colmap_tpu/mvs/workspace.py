@@ -255,3 +255,87 @@ def run_fusion_workspace(
 
     write_fused_vis(output_path + ".vis", vis)
     return pts, normals, vis
+
+
+class CachedWorkspace:
+    """Memory-bounded cached access to the dense workspace's per-image
+    files.
+
+    reference behavior: mvs/workspace.h:46-136 — `Workspace` serves
+    bitmap/depth/normal pages through a MemoryConstrainedLRUCache sized by
+    the `cache_size` (GB) option so arbitrarily large scenes stream through
+    bounded host memory.
+    """
+
+    def __init__(self, workspace_path: str, cache_size_gb: float = 32.0):
+        from colmap_tpu.utils.cache import MemoryConstrainedLRUCache
+
+        self.workspace_path = workspace_path
+        self._cache = MemoryConstrainedLRUCache(
+            int(cache_size_gb * (1 << 30)), self._load
+        )
+
+    # -- path helpers (reference: Workspace::Get*Path) -------------------
+    def bitmap_path(self, image_name: str) -> str:
+        return os.path.join(self.workspace_path, "images", image_name)
+
+    def depth_map_path(self, image_name: str, suffix: str) -> str:
+        return os.path.join(
+            self.workspace_path, "stereo", "depth_maps",
+            f"{image_name}.{suffix}.bin",
+        )
+
+    def normal_map_path(self, image_name: str, suffix: str) -> str:
+        return os.path.join(
+            self.workspace_path, "stereo", "normal_maps",
+            f"{image_name}.{suffix}.bin",
+        )
+
+    # -- cached getters (reference: Workspace::Get{Bitmap,DepthMap,...}) --
+    def _load(self, key):
+        kind, name, suffix = key
+        if kind == "bitmap":
+            from PIL import Image as PILImage
+
+            return (
+                np.asarray(
+                    PILImage.open(self.bitmap_path(name)).convert("L"),
+                    dtype=np.float32,
+                )
+                / 255.0
+            )
+        from colmap_tpu.mvs.depth_map import read_map
+
+        path = (
+            self.depth_map_path(name, suffix)
+            if kind == "depth"
+            else self.normal_map_path(name, suffix)
+        )
+        return read_map(path)
+
+    def get_bitmap(self, image_name: str) -> np.ndarray:
+        return self._cache.get(("bitmap", image_name, ""))
+
+    def get_depth_map(self, image_name: str, suffix: str = "photometric"):
+        return self._cache.get(("depth", image_name, suffix))
+
+    def get_normal_map(self, image_name: str, suffix: str = "photometric"):
+        return self._cache.get(("normal", image_name, suffix))
+
+    def has_bitmap(self, image_name: str) -> bool:
+        return os.path.exists(self.bitmap_path(image_name))
+
+    def image_map(self, recon: Reconstruction):
+        """Lazy {image_id: grayscale bitmap} mapping for
+        run_patch_match_workspace — images page in through the cache."""
+        ws = self
+
+        class _Map:
+            def __contains__(self, iid):
+                img = recon.images.get(iid)
+                return img is not None and ws.has_bitmap(img.name)
+
+            def __getitem__(self, iid):
+                return ws.get_bitmap(recon.images[iid].name)
+
+        return _Map()

@@ -120,3 +120,28 @@ def test_dense_workspace_geom_consistency(tmp_path):
     pts, normals, vis = run_fusion_workspace(recon, ws, out_ply)
     assert len(pts) > 200
     assert os.path.exists(out_ply + ".vis")
+
+
+def test_lru_caches():
+    """LRU + memory-constrained caches (reference: util/cache.h:46,137)."""
+    import numpy as np
+
+    from colmap_tpu.utils.cache import LRUCache, MemoryConstrainedLRUCache
+
+    loads = []
+    c = LRUCache(2, lambda k: loads.append(k) or k * 10)
+    assert c.get(1) == 10 and c.get(2) == 20
+    assert c.get(1) == 10 and loads == [1, 2]  # hit
+    c.get(3)  # evicts 2 (LRU)
+    assert not c.exists(2) and c.exists(1) and c.exists(3)
+    assert c.num_elems() == 2
+    assert c.evict(1) and not c.exists(1)
+
+    m = MemoryConstrainedLRUCache(
+        2048, lambda k: np.zeros(k, np.uint8)
+    )
+    m.get(1000)
+    m.get(900)
+    assert m.num_bytes == 1900
+    m.get(500)  # 2400 > 2048 -> evict LRU (1000)
+    assert not m.exists(1000) and m.num_bytes == 1400
