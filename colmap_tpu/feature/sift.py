@@ -260,17 +260,112 @@ def _orientations_and_descriptors(gauss, xs, ys, scales, sigmas, valid,
         a = jnp.arctan2(gu, gv)
         return m, a
 
-    def per_kp(x, y, lvl, W):
-        # Sample grid around the keypoint, warped by W (spacing ~ sigma).
-        m, a = sample_warped_grads(lvl, x, y, W)
+    # -- Batched sampling --------------------------------------------------
+    # Per-keypoint patch samples live in a compact bounding window, so for
+    # the non-DSP, non-affine case each keypoint fetches ONE (128, 128)
+    # level tile via a batched dynamic slice and resolves its 256 bilinear
+    # samples with hat-function one-hot contractions on the MXU — small-row
+    # gathers (the slow path on TPU) drop from 256 per keypoint to zero.
+    _BH = _BW = 128
+    max_sigma = options.sigma0 * 2.0 ** (
+        (options.octave_resolution + 2) / options.octave_resolution
+    )
+    max_spread = 2.0 * max_sigma * (R - 0.5) * np.sqrt(2.0) + 4.0
+    windowed_ok = (
+        not options.domain_size_pooling
+        and not options.estimate_affine_shape
+        and H >= _BH + 2
+        and W >= _BW + 2
+        and max_spread <= _BH - 2
+    )
+
+    def _sample_pair_windowed(lvls, yy, xx):
+        """(K, NS) coords -> bilinear gx/gy samples via per-keypoint window
+        tiles + hat-function selections."""
+        NS = yy.shape[1]
+        yy = jnp.clip(yy, 0.0, H - 1.001)
+        xx = jnp.clip(xx, 0.0, W - 1.001)
+        by = jnp.clip(jnp.min(yy, axis=1).astype(jnp.int32) - 1, 0, H - _BH)
+        bx = jnp.clip(jnp.min(xx, axis=1).astype(jnp.int32) - 1, 0, W - _BW)
+        rows = jnp.arange(_BH, dtype=dtype)
+        cols = jnp.arange(_BW, dtype=dtype)
+
+        def chunk(args):
+            l, b, c, cy, cx = args
+
+            def slice_pair(li, bi, ci):
+                tx = jax.lax.dynamic_slice(gx, (li, bi, ci), (1, _BH, _BW))[0]
+                ty = jax.lax.dynamic_slice(gy, (li, bi, ci), (1, _BH, _BW))[0]
+                return tx, ty
+
+            tx, ty = jax.vmap(slice_pair)(l, b, c)  # (B, BH, BW)
+            ry = jnp.clip(cy - b[:, None], 0.0, _BH - 1.001)
+            rx = jnp.clip(cx - c[:, None], 0.0, _BW - 1.001)
+            rowsel = jnp.maximum(0.0, 1.0 - jnp.abs(ry[..., None] - rows))
+            colsel = jnp.maximum(0.0, 1.0 - jnp.abs(rx[..., None] - cols))
+            rowsel_b = rowsel.astype(jnp.bfloat16)
+            px = jnp.einsum(
+                "knh,khw->knw", rowsel_b, tx.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            py = jnp.einsum(
+                "knh,khw->knw", rowsel_b, ty.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            sgx = jnp.sum(px * colsel, axis=-1)
+            sgy = jnp.sum(py * colsel, axis=-1)
+            return sgx.astype(dtype), sgy.astype(dtype)
+
+        K = yy.shape[0]
+        B = min(K, 2048)
+        if K % B != 0:  # keypoint buckets are powers of two >= 64
+            B = K
+        n_chunks = K // B
+        sgx, sgy = jax.lax.map(
+            chunk,
+            (
+                lvls.reshape(n_chunks, B),
+                by.reshape(n_chunks, B),
+                bx.reshape(n_chunks, B),
+                yy.reshape(n_chunks, B, NS),
+                xx.reshape(n_chunks, B, NS),
+            ),
+        )
+        return sgx.reshape(K, NS), sgy.reshape(K, NS)
+
+    def sample_warped_grads_batched(lvls, x, y, Wm):
+        """Batched sample_warped_grads: x, y (K,), Wm (K, 2, 2) ->
+        (mag, angle) of shape (K, 256) in patch coordinates."""
+        pu = jnp.broadcast_to(win[:, None], (2 * R, 2 * R)).reshape(-1)
+        pv = jnp.broadcast_to(win[None, :], (2 * R, 2 * R)).reshape(-1)
+        dx = Wm[:, 0, 0, None] * pv + Wm[:, 0, 1, None] * pu  # (K, 256)
+        dy = Wm[:, 1, 0, None] * pv + Wm[:, 1, 1, None] * pu
+        yy = y[:, None] + dy
+        xx = x[:, None] + dx
+        if windowed_ok:
+            sgx, sgy = _sample_pair_windowed(lvls, yy, xx)
+        else:
+            sgx = bilinear_lvl(gx_flat, lvls[:, None], yy, xx)
+            sgy = bilinear_lvl(gy_flat, lvls[:, None], yy, xx)
+        gv = Wm[:, 0, 0, None] * sgx + Wm[:, 1, 0, None] * sgy
+        gu = Wm[:, 0, 1, None] * sgx + Wm[:, 1, 1, None] * sgy
+        m = jnp.sqrt(gv * gv + gu * gu + 1e-20)
+        a = jnp.arctan2(gu, gv)
+        return m, a
+
+    def per_kp(m, a):
+        # Window samples (256,) around the keypoint (already warped).
         # Gaussian weight over the window.
-        d2 = (win[:, None] ** 2 + win[None, :] ** 2) / (2.0 * (1.5 * R / 3.0) ** 2)
+        d2 = (
+            (win[:, None] ** 2 + win[None, :] ** 2)
+            / (2.0 * (1.5 * R / 3.0) ** 2)
+        ).reshape(-1)
         w = jnp.exp(-d2)
-        wm = (m * w).reshape(-1)
+        wm = m * w
         # Orientation histogram via dense circular soft-assignment: each
         # sample splits linearly over its two neighboring bins. Expressed as
         # a (samples, bins) weight matrix -> one matvec (scatter-free).
-        bin_f = ((a + jnp.pi) / (2 * jnp.pi) * NBINS_ORI - 0.5).reshape(-1)
+        bin_f = (a + jnp.pi) / (2 * jnp.pi) * NBINS_ORI - 0.5
         bins = jnp.arange(NBINS_ORI, dtype=dtype)
         dist = jnp.abs(bin_f[:, None] - bins[None, :])
         dist = jnp.minimum(dist, NBINS_ORI - dist)
@@ -281,24 +376,22 @@ def _orientations_and_descriptors(gauss, xs, ys, scales, sigmas, valid,
             hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
         return hist, ()
 
-    def raw_descriptor(x, y, lvl, W):
-        # Warped 16x16 sampling grid (W = sigma*A*R(theta)); 4x4 spatial
-        # bins x 8 orientations with full trilinear soft-assignment
-        # (standard SIFT binning).
+    def raw_descriptor(m, a):
+        # Warped 16x16 sample magnitudes/angles (256,); 4x4 spatial bins x 8
+        # orientations with full trilinear soft-assignment (standard SIFT
+        # binning).
         u = jnp.broadcast_to(win[:, None], (2 * R, 2 * R))  # row offsets
         v = jnp.broadcast_to(win[None, :], (2 * R, 2 * R))
-        m, a = sample_warped_grads(lvl, x, y, W)
-        d2 = (u**2 + v**2) / (2.0 * (0.5 * 2 * R) ** 2)
+        d2 = ((u**2 + v**2) / (2.0 * (0.5 * 2 * R) ** 2)).reshape(-1)
         w = jnp.exp(-d2)
-        wm = m * w
+        wm_f = m * w
         # Continuous bin coordinates: spatial in [-0.5, 3.5], orient in [0, 8).
         # Trilinear soft-assignment expressed densely: per-axis hat-function
         # weight matrices contracted by one einsum (scatter-free, MXU/VPU
         # friendly).
         pu = ((u + R - 0.5) / (2 * R) * 4.0 - 0.5).reshape(-1)
         pv = ((v + R - 0.5) / (2 * R) * 4.0 - 0.5).reshape(-1)
-        po = (jnp.mod(a, 2 * jnp.pi) / (2 * jnp.pi) * 8.0 - 0.5).reshape(-1)
-        wm_f = wm.reshape(-1)
+        po = jnp.mod(a, 2 * jnp.pi) / (2 * jnp.pi) * 8.0 - 0.5
         bins4 = jnp.arange(4, dtype=dtype)
         bins8 = jnp.arange(8, dtype=dtype)
         wu = jnp.maximum(0.0, 1.0 - jnp.abs(pu[:, None] - bins4[None, :]))
@@ -308,26 +401,32 @@ def _orientations_and_descriptors(gauss, xs, ys, scales, sigmas, valid,
         wo = jnp.maximum(0.0, 1.0 - od)
         return jnp.einsum("s,su,sv,so->uvo", wm_f, wu, wv, wo).reshape(128)
 
-    def descriptor(x, y, lvl, W):
+    def normalize_desc(desc):
+        if options.normalization == "L2":
+            return desc / jnp.maximum(jnp.linalg.norm(desc), 1e-12)
+        # L1-root normalization (sift.h Normalization::L1_ROOT).
+        desc = desc / jnp.maximum(jnp.sum(jnp.abs(desc)), 1e-12)
+        return jnp.sqrt(desc)
+
+    def descriptors_batched(lvls, x, y, frames):
+        """(K,) keypoints with (K, 2, 2) warp frames -> (K, 128)."""
         if options.domain_size_pooling:
             # DSP: average raw descriptors over pooled window scales.
-            dsp = jnp.linspace(
+            dsp = np.linspace(
                 options.dsp_min_scale, options.dsp_max_scale,
-                options.dsp_num_scales, dtype=dtype,
+                options.dsp_num_scales,
             )
-            descs = jax.vmap(
-                lambda f: raw_descriptor(x, y, lvl, W * f)
-            )(dsp)
-            desc = jnp.mean(descs, axis=0)
+            acc = jnp.zeros((x.shape[0], 128), dtype)
+            for f in dsp:
+                m, a = sample_warped_grads_batched(
+                    lvls, x, y, frames * jnp.asarray(f, dtype)
+                )
+                acc = acc + jax.vmap(raw_descriptor)(m, a)
+            descs = acc / len(dsp)
         else:
-            desc = raw_descriptor(x, y, lvl, W)
-        if options.normalization == "L2":
-            desc = desc / jnp.maximum(jnp.linalg.norm(desc), 1e-12)
-        else:
-            # L1-root normalization (sift.h Normalization::L1_ROOT).
-            desc = desc / jnp.maximum(jnp.sum(jnp.abs(desc)), 1e-12)
-            desc = jnp.sqrt(desc)
-        return desc
+            m, a = sample_warped_grads_batched(lvls, x, y, frames)
+            descs = jax.vmap(raw_descriptor)(m, a)
+        return jax.vmap(normalize_desc)(descs)
 
     def affine_shape(x, y, lvl, sigma):
         """Baumberg iteration: adapt a det-1 shape matrix A so the
@@ -386,7 +485,10 @@ def _orientations_and_descriptors(gauss, xs, ys, scales, sigmas, valid,
     else:
         shapes = jnp.broadcast_to(jnp.eye(2, dtype=dtype), (xs.shape[0], 2, 2))
 
-    hists, _ = jax.vmap(per_kp)(xs, ys, scales, sigmas[:, None, None] * shapes)
+    m_o, a_o = sample_warped_grads_batched(
+        scales, xs, ys, sigmas[:, None, None] * shapes
+    )
+    hists, _ = jax.vmap(per_kp)(m_o, a_o)
 
     # Peaks: global max + second peaks >= 0.8 * max that are local maxima.
     def peaks(hist):
@@ -426,7 +528,7 @@ def _orientations_and_descriptors(gauss, xs, ys, scales, sigmas, valid,
     # Full affine frame mapping patch to image coords: sigma * A * R(theta)
     # — the COLMAP FeatureKeypoint (a11, a12, a21, a22) layout.
     frames = sig_r[:, None, None] * jnp.einsum("kij,kjl->kil", shp_r, rot)
-    descs = jax.vmap(descriptor)(xs_r, ys_r, lvl_r, frames)
+    descs = descriptors_batched(lvl_r, xs_r, ys_r, frames)
     return xs_r, ys_r, sig_r, th_r, frames, descs, ok_r
 
 
