@@ -363,6 +363,64 @@ def estimate_two_view_geometry(
     return g
 
 
+def two_view_geometry_from_known_relative_pose(
+    camera1: Camera,
+    points1: np.ndarray,
+    camera2: Camera,
+    points2: np.ndarray,
+    cam2_from_cam1: Pose,
+    matches: np.ndarray,
+    min_num_inliers: int = 15,
+    max_error: float = 4.0,
+) -> TwoViewGeometry:
+    """Classify matches against a known relative pose (no estimation).
+
+    reference behavior: TwoViewGeometryFromKnownRelativePose
+    (two_view_geometry.cc:1586-1641) — build E from the pose, keep matches
+    whose first-order epipolar error is within max_error (pixels, converted
+    through the camera focals like the rest of this module), config
+    CALIBRATED when enough survive.
+    """
+    from colmap_tpu.geometry.essential import essential_from_pose
+    from colmap_tpu.geometry.rigid3 import Rigid3
+
+    g = TwoViewGeometry()
+    matches = np.asarray(matches)
+    if len(matches) < min_num_inliers:
+        g.config = int(TwoViewGeometryConfig.DEGENERATE)
+        return g
+    x1 = np.asarray(points1)[matches[:, 0]]
+    x2 = np.asarray(points2)[matches[:, 1]]
+    x1n, _ = camera_models.cam_from_img(
+        camera1.model_id, jnp.asarray(camera1.params, dtype=floatx()),
+        jnp.asarray(x1, dtype=floatx()),
+    )
+    x2n, _ = camera_models.cam_from_img(
+        camera2.model_id, jnp.asarray(camera2.params, dtype=floatx()),
+        jnp.asarray(x2, dtype=floatx()),
+    )
+    E = essential_from_pose(
+        Rigid3(
+            quat=jnp.asarray(cam2_from_cam1.quat, dtype=floatx()),
+            t=jnp.asarray(cam2_from_cam1.t, dtype=floatx()),
+        )
+    )
+    err = np.asarray(sampson_error(E, x1n, x2n))
+    thresh = 0.5 * (
+        camera1.cam_from_img_threshold(max_error)
+        + camera2.cam_from_img_threshold(max_error)
+    )
+    inl = err <= thresh * thresh
+    if int(inl.sum()) < min_num_inliers:
+        g.config = int(TwoViewGeometryConfig.DEGENERATE)
+        return g
+    g.config = int(TwoViewGeometryConfig.CALIBRATED)
+    g.E = np.asarray(E)
+    g.cam2_from_cam1 = cam2_from_cam1
+    g.inlier_matches = matches[inl].astype(np.uint32)
+    return g
+
+
 def extract_outlier_matches(matches: np.ndarray, inlier_matches: np.ndarray) -> np.ndarray:
     """Matches not present in inlier_matches (reference:
     ExtractOutlierMatches, two_view_geometry.cc:157)."""

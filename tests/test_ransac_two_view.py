@@ -488,3 +488,24 @@ def test_spherical_two_view_panoramic():
     import jax.numpy as jnp
     R_est = np.asarray(rot.quat_to_rotmat(jnp.asarray(g.cam2_from_cam1.quat)))
     assert np.abs(R_est - R_gt).max() < 0.01
+
+
+def test_two_view_from_known_relative_pose():
+    """Known-pose match classification (reference:
+    TwoViewGeometryFromKnownRelativePose, two_view_geometry.cc:1586)."""
+    from colmap_tpu.estimators.two_view_geometry import (
+        two_view_geometry_from_known_relative_pose,
+    )
+
+    rng = np.random.default_rng(14)
+    cam1, x1, cam2, x2, matches, out_idx, pose21 = _make_pair(
+        rng, calibrated=True
+    )
+    g = two_view_geometry_from_known_relative_pose(
+        cam1, x1, cam2, x2, pose21, matches
+    )
+    assert g.config == int(TwoViewGeometryConfig.CALIBRATED)
+    inl = {int(a) for a, _ in g.inlier_matches}
+    outset = set(int(i) for i in out_idx)
+    assert len(inl & outset) <= 2
+    assert len(inl) > 0.9 * (len(matches) - len(out_idx))
