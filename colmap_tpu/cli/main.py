@@ -643,6 +643,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_level", type=int, default=0,
                    help="VLOG verbosity: 0 info, 1/2 increasing detail "
                         "(reference: glog --v)")
+    p.add_argument("--profile_dir", default="",
+                   help="capture a device profile of the command into this "
+                        "directory (jax.profiler trace; the reference's "
+                        "PROFILING_ENABLED gperftools analog)")
     sub = p.add_subparsers(dest="command", required=True)
 
     c = sub.add_parser("automatic_reconstructor")
@@ -852,7 +856,18 @@ def main(argv=None):
     from colmap_tpu.utils import logging as _logging
 
     _logging.set_verbosity(getattr(args, "log_level", 0))
-    args.fn(args)
+    profile_dir = getattr(args, "profile_dir", "")
+    if profile_dir:
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
+        try:
+            args.fn(args)
+        finally:
+            jax.profiler.stop_trace()
+        _logging.info("Profile written to %s", profile_dir)
+    else:
+        args.fn(args)
 
 
 if __name__ == "__main__":
