@@ -1,87 +1,87 @@
-"""Benchmark: bundle-adjustment LM iterations/s on TPU vs host CPU.
+"""Driver benchmark: one JSON line with the headline metric + extras.
 
-North-star metric from BASELINE.md: BA iterations/s (Ceres-vs-Caspar
-analogue, reference: benchmark/runtime/bundle_adjustment.cc:113-196).
-One LM iteration = residuals + Jacobians + reduced-camera-system solve
-(dense Schur: explicit S via MXU matmuls + Cholesky — the packed,
-scatter-free path) + tentative update, on a synthetic problem
-(200 frames x 50k points x 300k observations, f32 — the Caspar default
-precision).
+Headline (north-star, BASELINE.md): packed bundle-adjustment LM
+iterations/s on the accelerator (Ceres-vs-Caspar analogue, reference:
+benchmark/runtime/bundle_adjustment.cc:113-196). One LM iteration =
+residuals + Jacobians + Schur-reduced camera solve + tentative update on a
+200 frames x 50k points x 300k observations synthetic problem in f32.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-vs_baseline is the speedup over the same solver on the host CPU (the
-stand-in for the reference's CPU Ceres baseline until reference
-wall-clocks are measured on identical scenes).
+vs_baseline = speedup over the same solver on the host CPU (stand-in for
+the reference's CPU Ceres until reference binaries can be timed on
+identical scenes — see BASELINE.md).
+
+The "extra" dict carries the rest of the runtime suite (VERDICT r1 item 3:
+extraction img/s, matching + verification pairs/s, PatchMatch px/s,
+incremental mapping frames/s, 8-device sharded-BA scaling). Set
+COLMAP_TPU_BENCH_FAST=1 to emit only the headline.
 """
 
 import json
+import os
 import sys
-import time
 
-import jax
-import jax.numpy as jnp
+# The sharded-scaling extra needs a multi-device CPU backend alongside the
+# accelerator; this must be set before jax initializes.
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    )
 
+import jax  # noqa: E402
 
-N_ITERS = 10
+from colmap_tpu.utils.jax_cache import enable as _enable_jax_cache  # noqa: E402
 
-
-def time_packed_solve(device, packed, maps, masks, model_id, options):
-    from colmap_tpu.estimators import bundle_adjustment as ba
-
-    packed = jax.device_put(packed, device)
-    maps = jax.device_put(maps, device)
-    masks = jax.device_put(masks, device)
-
-    # Warmup/compile.
-    out = ba.lm_solve_fused_packed(packed, maps, model_id, options, masks)
-    float(out[1])
-
-    start = time.perf_counter()
-    out = ba.lm_solve_fused_packed(packed, maps, model_id, options, masks)
-    final_cost = float(out[1])  # host transfer forces completion
-    n_done = int(out[2])
-    elapsed = time.perf_counter() - start
-    return n_done / elapsed, final_cost
+_enable_jax_cache()
 
 
 def main():
-    from colmap_tpu.estimators import bundle_adjustment as ba
-    from colmap_tpu.scene.synthetic_ba import synthetic_ba_problem
-
-    problem, _gt, model_id = synthetic_ba_problem(
-        num_frames=200, num_points=50_000, obs_per_point=6, dtype=jnp.float32,
-        pixel_noise=0.5, pose_noise=0.02, point_noise=0.02,
-    )
-    options = ba.BAOptions(
-        max_iterations=N_ITERS, pcg_iterations=20, function_tolerance=0.0
-    )
-    masks = ba.default_masks(problem, model_id, options)
-    masks = ba.fix_gauge_two_frames(masks, 0, 1)
-    packed, maps, _caps = ba.pack_problem(problem)
+    from benchmarks import runtime as rt
 
     accel = jax.devices()[0]
-    tpu_rate, _ = time_packed_solve(accel, packed, maps, masks, model_id, options)
+    headline = rt.bench_ba_packed(device=accel)
 
+    # CPU reference rate for vs_baseline (3 iterations is enough to rate).
+    vs_baseline = 1.0
     try:
         cpu = jax.devices("cpu")[0]
-        cpu_options = ba.BAOptions(
-            max_iterations=3, pcg_iterations=20, function_tolerance=0.0
-        )
-        cpu_rate, _ = time_packed_solve(
-            cpu, packed, maps, masks, model_id, cpu_options
-        )
+        cpu_res = rt.bench_ba_packed(device=cpu, n_iters=3)
+        cpu_rate = cpu_res["value"]
+        if cpu_rate:
+            vs_baseline = headline["value"] / cpu_rate
     except Exception:
-        cpu_rate = None
+        pass
 
-    vs_baseline = tpu_rate / cpu_rate if cpu_rate else 1.0
+    extra = {}
+    if not os.environ.get("COLMAP_TPU_BENCH_FAST"):
+        for bench in (
+            rt.bench_ba_sharded_scaling,
+            rt.bench_extraction,
+            rt.bench_matching,
+            rt.bench_verification,
+            rt.bench_patch_match,
+            rt.bench_incremental_mapping,
+        ):
+            try:
+                res = bench()
+            except Exception as exc:
+                print(f"[bench] {bench.__name__} failed: {exc!r}",
+                      file=sys.stderr)
+                continue
+            if res is not None:
+                extra[res["metric"]] = {
+                    "value": res["value"], "unit": res["unit"],
+                    **res.get("detail", {}),
+                }
+
     print(
         json.dumps(
             {
-                "metric": "ba_lm_iterations_per_s_200f_50kp_300ko",
-                "value": round(tpu_rate, 3),
-                "unit": "iter/s",
+                "metric": headline["metric"],
+                "value": headline["value"],
+                "unit": headline["unit"],
                 "vs_baseline": round(vs_baseline, 3),
+                "extra": extra,
             }
         )
     )

@@ -1,0 +1,418 @@
+"""Runtime microbenchmark suite (reference: benchmark/runtime/*.cc).
+
+Each bench_* function measures one pipeline stage and returns a metric dict
+{"metric", "value", "unit", "detail"}. bench.py composes these into the
+driver-facing JSON line; `python -m benchmarks.runtime` runs them all and
+prints one JSON object per line.
+
+Reference fixtures mirrored here:
+  - bundle_adjustment.cc:113-196  -> bench_ba_packed / bench_ba_sharded
+  - incremental_mapping.cc:114-165 -> bench_incremental_mapping
+  - feature extraction/matching/verification throughput (the matcher +
+    verifier thread pools, controllers/feature_matching_utils.h:50-133)
+    -> bench_extraction / bench_matching / bench_verification
+  - patch_match_cuda.cu sweep throughput -> bench_patch_match
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def _timed(fn, repeats: int = 1):
+    """Run fn() once for warmup/compile, then time `repeats` runs."""
+    fn()
+    start = time.perf_counter()
+    for _ in range(repeats):
+        out = fn()
+    elapsed = (time.perf_counter() - start) / repeats
+    return elapsed, out
+
+
+# ---------------------------------------------------------------------------
+# Bundle adjustment
+
+
+def bench_ba_packed(device=None, num_frames: int = 200,
+                    num_points: int = 50_000, obs_per_point: int = 6,
+                    n_iters: int = 10) -> Dict:
+    """Packed fused LM iterations/s (the Caspar-analogue headline)."""
+    import jax
+    import jax.numpy as jnp
+
+    from colmap_tpu.estimators import bundle_adjustment as ba
+    from colmap_tpu.scene.synthetic_ba import synthetic_ba_problem
+
+    problem, _gt, model_id = synthetic_ba_problem(
+        num_frames=num_frames, num_points=num_points,
+        obs_per_point=obs_per_point, dtype=jnp.float32,
+        pixel_noise=0.5, pose_noise=0.02, point_noise=0.02,
+    )
+    options = ba.BAOptions(
+        max_iterations=n_iters, pcg_iterations=20, function_tolerance=0.0
+    )
+    masks = ba.default_masks(problem, model_id, options)
+    masks = ba.fix_gauge_two_frames(masks, 0, 1)
+    packed, maps, _caps = ba.pack_problem(problem)
+    if device is not None:
+        packed = jax.device_put(packed, device)
+        maps = jax.device_put(maps, device)
+        masks = jax.device_put(masks, device)
+
+    def run():
+        out = ba.lm_solve_fused_packed(packed, maps, model_id, options, masks)
+        return float(out[1]), int(out[2])
+
+    elapsed, (_cost, n_done) = _timed(run)
+    n_obs = num_points * obs_per_point
+    return {
+        "metric": f"ba_lm_iterations_per_s_{num_frames}f_{num_points // 1000}kp_{n_obs // 1000}ko",
+        "value": round(n_done / elapsed, 3),
+        "unit": "iter/s",
+        "detail": {"iters": n_done, "seconds": round(elapsed, 4)},
+    }
+
+
+def bench_ba_sharded_scaling(n_devices: int = 8, num_frames: int = 200,
+                             num_points: int = 50_000,
+                             obs_per_point: int = 6,
+                             n_iters: int = 6) -> Optional[Dict]:
+    """Packed sharded LM it/s on an n-device mesh vs 1 device (same backend).
+
+    On the CI host this runs on the virtual CPU mesh (real parallelism over
+    host cores); on a pod slice the same shard_map program rides ICI.
+    VERDICT r1 item 1: ≥4x scaling on a 300k-obs problem.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from colmap_tpu.estimators import bundle_adjustment as ba
+    from colmap_tpu.parallel import sharded_ba
+    from colmap_tpu.scene.synthetic_ba import synthetic_ba_problem
+
+    try:
+        cpus = jax.devices("cpu")
+    except RuntimeError:
+        return None
+    if len(cpus) < n_devices:
+        return None
+
+    problem, _gt, model_id = synthetic_ba_problem(
+        num_frames=num_frames, num_points=num_points,
+        obs_per_point=obs_per_point, dtype=jnp.float32,
+        pixel_noise=0.5, pose_noise=0.02, point_noise=0.02,
+    )
+    options = ba.BAOptions(
+        max_iterations=n_iters, pcg_iterations=20, function_tolerance=0.0,
+        solver_type="pcg",
+    )
+    masks = ba.default_masks(problem, model_id, options)
+    masks = ba.fix_gauge_two_frames(masks, 0, 1)
+
+    rates = {}
+    for n_dev in (1, n_devices):
+        mesh = sharded_ba.make_mesh(cpus[:n_dev], axis_name="d")
+        stacked, maps, info = sharded_ba.pack_problem_sharded(problem, n_dev)
+        n_loc, N = info["n_loc"], info["N"]
+        pm = np.zeros(n_loc * n_dev, dtype=np.asarray(masks.point_mask).dtype)
+        pm[:N] = np.asarray(masks.point_mask)
+        masks_sh = masks._replace(
+            point_mask=jnp.asarray(pm.reshape(n_dev, n_loc))
+        )
+        solver = sharded_ba.make_sharded_packed_solver(
+            mesh, model_id, options, "d"
+        )
+
+        def run():
+            out = solver(stacked, maps, masks_sh)
+            return float(out[4]), int(out[5])
+
+        elapsed, (_cost, n_done) = _timed(run)
+        rates[n_dev] = n_done / elapsed
+
+    n_obs = num_points * obs_per_point
+    return {
+        "metric": f"ba_sharded_scaling_{n_devices}dev_{n_obs // 1000}ko",
+        "value": round(rates[n_devices] / rates[1], 3),
+        "unit": "x",
+        "detail": {
+            "iters_per_s_1dev": round(rates[1], 3),
+            f"iters_per_s_{n_devices}dev": round(rates[n_devices], 3),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# Features
+
+
+def _synthetic_image(h: int, w: int, seed: int = 0) -> np.ndarray:
+    """Textured synthetic image with blob features at multiple scales."""
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.default_rng(seed)
+    img = gaussian_filter(rng.uniform(0, 1, (h, w)), 1.5)
+    img += 0.5 * gaussian_filter(rng.uniform(0, 1, (h, w)), 6.0)
+    img -= img.min()
+    img /= max(img.max(), 1e-9)
+    return img.astype(np.float32)
+
+
+def bench_extraction(h: int = 768, w: int = 1024, n_images: int = 4) -> Dict:
+    """SIFT extraction throughput (reference bar: VLFeat CPU ~1s/img,
+    SiftGPU tens of ms at 1024x768; feature/sift.cc:554-743)."""
+    from colmap_tpu.feature.sift import SiftOptions, extract_sift
+
+    options = SiftOptions()
+    imgs = [_synthetic_image(h, w, seed=s) for s in range(n_images)]
+
+    def run():
+        n = 0
+        for img in imgs:
+            kp, desc = extract_sift(img, options)
+            n += len(kp)
+        return n
+
+    # Warmup once on one image (compile), then time the batch.
+    extract_sift(imgs[0], options)
+    start = time.perf_counter()
+    n_kp = run()
+    elapsed = time.perf_counter() - start
+    return {
+        "metric": f"sift_extraction_images_per_s_{w}x{h}",
+        "value": round(n_images / elapsed, 3),
+        "unit": "img/s",
+        "detail": {"keypoints_total": n_kp,
+                   "s_per_image": round(elapsed / n_images, 3)},
+    }
+
+
+def _synthetic_pair_set(n_images: int = 16, n_feat: int = 2048,
+                        inlier_ratio: float = 0.7, seed: int = 0):
+    """Descriptors + keypoints for a synthetic matching/verification load."""
+    rng = np.random.default_rng(seed)
+    # Shared 3D points projected to each view with a planar + noise model:
+    # cheap but produces realistic inlier structures for E/F/H RANSAC.
+    n_pts = n_feat
+    pts = rng.uniform(-1, 1, (n_pts, 3))
+    pts[:, 2] += 4.0
+    descs_base = rng.integers(0, 256, (n_pts, 128), dtype=np.uint8)
+    K = np.array([[800.0, 0, 512], [0, 800.0, 384], [0, 0, 1]])
+    descs, kps = [], []
+    for i in range(n_images):
+        angle = 0.12 * i
+        R = np.array([
+            [np.cos(angle), 0, np.sin(angle)],
+            [0, 1, 0],
+            [-np.sin(angle), 0, np.cos(angle)],
+        ])
+        t = np.array([0.4 * i, 0.0, 0.0])
+        pc = (R @ pts.T).T + t
+        uv = (K @ (pc / pc[:, 2:3]).T).T[:, :2]
+        noise = rng.normal(0, 0.4, uv.shape)
+        uv = uv + noise
+        # Corrupt a fraction of descriptors to create outliers.
+        d = descs_base.copy()
+        n_out = int((1 - inlier_ratio) * n_pts)
+        idx = rng.choice(n_pts, n_out, replace=False)
+        d[idx] = rng.integers(0, 256, (n_out, 128), dtype=np.uint8)
+        descs.append(d)
+        kps.append(uv.astype(np.float64))
+    return descs, kps, K
+
+
+def bench_matching(n_images: int = 16, n_feat: int = 2048) -> Dict:
+    """Brute-force MXU matcher pairs/s over an exhaustive pair list."""
+    from colmap_tpu.feature.matcher import MatchingOptions, match_pairs_batched
+
+    descs, _kps, _K = _synthetic_pair_set(n_images, n_feat)
+    pairs = np.asarray(
+        [(i, j) for i in range(n_images) for j in range(i + 1, n_images)],
+        dtype=np.int64,
+    )
+    options = MatchingOptions()
+
+    def run():
+        out = match_pairs_batched(descs, pairs, capacity=n_feat,
+                                  options=options)
+        return sum(len(m) for m in out)
+
+    elapsed, n_matches = _timed(run)
+    return {
+        "metric": f"match_pairs_per_s_{n_feat}feat",
+        "value": round(len(pairs) / elapsed, 3),
+        "unit": "pairs/s",
+        "detail": {"pairs": len(pairs), "matches_total": n_matches},
+    }
+
+
+def bench_verification(n_images: int = 16, n_feat: int = 1024) -> Dict:
+    """Two-view geometric verification pairs/s through the batched
+    pair-block verifier (VERDICT r1 item 2)."""
+    from colmap_tpu.estimators.two_view_batch import (
+        estimate_two_view_geometries_batched,
+    )
+    from colmap_tpu.estimators.two_view_geometry import TwoViewGeometryOptions
+    from colmap_tpu.feature.matcher import MatchingOptions, match_pairs_batched
+    from colmap_tpu.scene.types import Camera
+
+    descs, kps, K = _synthetic_pair_set(n_images, n_feat)
+    pairs = np.asarray(
+        [(i, j) for i in range(n_images) for j in range(i + 1, n_images)],
+        dtype=np.int64,
+    )
+    match_lists = match_pairs_batched(descs, pairs, capacity=n_feat,
+                                      options=MatchingOptions())
+    cams = []
+    for i in range(n_images):
+        cam = Camera.create(i + 1, 1, float(K[0, 0]), 1024, 768)  # PINHOLE-ish
+        cam.has_prior_focal_length = True
+        cams.append(cam)
+    items = [
+        (cams[a], kps[a], cams[b], kps[b], m)
+        for (a, b), m in zip(pairs, match_lists)
+        if len(m) >= 15
+    ]
+    options = TwoViewGeometryOptions(compute_relative_pose=False)
+
+    def run():
+        geoms = estimate_two_view_geometries_batched(items, options)
+        return sum(1 for g in geoms if len(g.inlier_matches) >= 15)
+
+    elapsed, n_ok = _timed(run)
+    return {
+        "metric": f"verify_pairs_per_s_{n_feat}feat",
+        "value": round(len(items) / elapsed, 3),
+        "unit": "pairs/s",
+        "detail": {"pairs": len(items), "verified": n_ok},
+    }
+
+
+# ---------------------------------------------------------------------------
+# MVS
+
+
+def bench_patch_match(h: int = 480, w: int = 640, n_src: int = 8,
+                      n_iterations: int = 2) -> Dict:
+    """PatchMatch stereo pixel throughput (full photometric run:
+    n_iterations x 2 parities; reference kernel patch_match_cuda.cu:1304)."""
+    import jax.numpy as jnp
+
+    from colmap_tpu.mvs.patch_match import (
+        PatchMatchOptions, PatchMatchProblem, patch_match,
+    )
+
+    rng = np.random.default_rng(0)
+    from scipy.ndimage import gaussian_filter
+
+    ref = gaussian_filter(rng.uniform(0, 1, (h, w)), 1.0).astype(np.float32)
+    srcs = np.stack([
+        gaussian_filter(rng.uniform(0, 1, (h, w)), 1.0).astype(np.float32)
+        for _ in range(n_src)
+    ])
+    K = np.array([[500.0, 0, w / 2], [0, 500.0, h / 2], [0, 0, 1]],
+                 dtype=np.float32)
+    Rs = np.stack([np.eye(3, dtype=np.float32)] * n_src)
+    ts = np.stack([
+        np.array([0.1 * (i + 1), 0, 0], dtype=np.float32)
+        for i in range(n_src)
+    ])
+    problem = PatchMatchProblem(
+        ref_image=jnp.asarray(ref), src_images=jnp.asarray(srcs),
+        K_ref=jnp.asarray(K), K_src=jnp.asarray(np.stack([K] * n_src)),
+        R_rel=jnp.asarray(Rs), t_rel=jnp.asarray(ts),
+    )
+    options = PatchMatchOptions(
+        depth_min=2.0, depth_max=10.0, num_iterations=n_iterations,
+        window_radius=3,
+    )
+
+    def run():
+        depth, _normal, _cost = patch_match(problem, options, seed=1)
+        return float(np.asarray(depth).mean())
+
+    elapsed, _ = _timed(run)
+    n_px = h * w * 2 * n_iterations  # pixels swept per run
+    return {
+        "metric": f"patch_match_px_per_s_{w}x{h}_S{n_src}",
+        "value": round(n_px / elapsed, 1),
+        "unit": "px/s",
+        "detail": {"seconds_per_run": round(elapsed, 3),
+                    "iterations": n_iterations, "sources": n_src},
+    }
+
+
+# ---------------------------------------------------------------------------
+# Incremental mapping
+
+
+def bench_incremental_mapping(num_frames: int = 30,
+                              num_points: int = 200) -> Dict:
+    """Synthetic-database incremental mapping frames/s
+    (reference: benchmark/runtime/incremental_mapping.cc:114-165)."""
+    from colmap_tpu.scene.database import Database
+    from colmap_tpu.scene.synthetic import (
+        SyntheticDatasetOptions, synthesize_dataset,
+    )
+    from colmap_tpu.sfm.incremental_pipeline import (
+        IncrementalPipeline, IncrementalPipelineOptions,
+    )
+
+    db = Database(":memory:")
+    options = SyntheticDatasetOptions(
+        num_rigs=1, num_cameras_per_rig=1, num_frames_per_rig=num_frames,
+        num_points3D=num_points,
+    )
+    gt = synthesize_dataset(options, db)
+
+    start = time.perf_counter()
+    pipeline = IncrementalPipeline(IncrementalPipelineOptions(), db)
+    recons = pipeline.run()
+    elapsed = time.perf_counter() - start
+    n_reg = max((r.num_reg_frames() for r in recons), default=0)
+
+    from colmap_tpu.estimators.alignment import compare_reconstructions
+
+    stats = compare_reconstructions(recons[0], gt) if recons else {}
+    return {
+        "metric": f"incremental_mapping_frames_per_s_{num_frames}f",
+        "value": round(n_reg / elapsed, 3),
+        "unit": "frames/s",
+        "detail": {
+            "registered": n_reg,
+            "total": num_frames,
+            "seconds": round(elapsed, 2),
+            "max_rotation_error_deg": round(
+                stats.get("max_rotation_error_deg", float("inf")), 6
+            ),
+        },
+    }
+
+
+ALL_BENCHES = [
+    bench_ba_packed,
+    bench_ba_sharded_scaling,
+    bench_extraction,
+    bench_matching,
+    bench_verification,
+    bench_patch_match,
+    bench_incremental_mapping,
+]
+
+
+def main():
+    for bench in ALL_BENCHES:
+        try:
+            result = bench()
+        except Exception as exc:  # pragma: no cover - diagnostic path
+            result = {"metric": bench.__name__, "error": repr(exc)}
+        if result is not None:
+            print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -854,7 +854,9 @@ def main(argv=None):
     parser = build_parser()
     args = parser.parse_args(argv)
     from colmap_tpu.utils import logging as _logging
+    from colmap_tpu.utils.jax_cache import enable as _enable_jax_cache
 
+    _enable_jax_cache()
     _logging.set_verbosity(getattr(args, "log_level", 0))
     profile_dir = getattr(args, "profile_dir", "")
     if profile_dir:

@@ -224,28 +224,26 @@ def _match_and_verify_pairs(
     database: Database,
     pairs: Sequence[Tuple[int, int]],
     options: MatchingPipelineOptions,
+    block_pairs: int = 256,
 ):
-    import jax.numpy as _jnp
+    """Match + verify a pair list through blocked device programs.
+
+    TPU-native shape (SURVEY §2.9 P2): pairs stream in blocks; each block is
+    ONE vmapped matcher program plus a handful of vmapped verification
+    programs (grouped by match-count bucket) — replacing the reference's
+    per-pair matcher workers + verifier thread pool
+    (controllers/feature_matching_utils.h:50-133). Host caches are bounded
+    per block (the reference FeatureMatcherCache analog is capacity-bounded
+    by construction: descriptors live only for the current block).
+    """
+    from colmap_tpu.estimators.two_view_batch import (
+        estimate_two_view_geometries_batched,
+    )
+    from colmap_tpu.feature.matcher import match_pairs_batched
 
     cameras = database.read_cameras()
     images = {iid: (name, cid) for (iid, name, cid) in database.read_images()}
-    desc_cache: Dict[int, np.ndarray] = {}
-    desc_dev_cache: Dict[int, object] = {}
     kp_cache: Dict[int, np.ndarray] = {}
-
-    def get_desc(iid):
-        if iid not in desc_cache:
-            desc_cache[iid] = database.read_descriptors(iid)
-        return desc_cache[iid]
-
-    def get_desc_dev(iid):
-        """Device-resident descriptors: each image uploads once per block
-        instead of once per pair (host<->device bandwidth is the matcher's
-        bottleneck — reference analog: FeatureMatcherCache,
-        controllers/matcher_cache.h:49-63)."""
-        if iid not in desc_dev_cache:
-            desc_dev_cache[iid] = _jnp.asarray(get_desc(iid))
-        return desc_dev_cache[iid]
 
     def get_kp(iid):
         if iid not in kp_cache:
@@ -266,50 +264,84 @@ def _match_and_verify_pairs(
         else:
             lightglue_params = lg_init(lg_opts)
 
+    pairs = list(pairs)
     n_verified = 0
-    for (id1, id2) in pairs:
-        d1, d2 = get_desc(id1), get_desc(id2)
+    # Per-image normalized keypoints are reused across all blocks.
+    normalized_cache: Dict[object, np.ndarray] = {}
+    for blk_start in range(0, len(pairs), block_pairs):
+        block = pairs[blk_start:blk_start + block_pairs]
+        block_ids = sorted({i for p in block for i in p})
+        descs = {iid: database.read_descriptors(iid) for iid in block_ids}
+
         if options.matcher_type == "lightglue":
             from colmap_tpu.feature.lightglue import match_lightglue
 
+            match_lists = []
+            for (id1, id2) in block:
+                cam1 = cameras[images[id1][1]]
+                cam2 = cameras[images[id2][1]]
+                match_lists.append(match_lightglue(
+                    descs[id1].astype(np.float32), get_kp(id1),
+                    descs[id2].astype(np.float32), get_kp(id2),
+                    (cam1.height, cam1.width), (cam2.height, cam2.width),
+                    lightglue_params, lg_opts,
+                ))
+        else:
+            local = {iid: k for k, iid in enumerate(block_ids)}
+            cap = max(
+                (len(descs[iid]) for iid in block_ids), default=1
+            )
+            from colmap_tpu.utils.bucketing import bucket_size
+
+            cap = bucket_size(max(cap, 1), 256)
+            pair_idxs = np.asarray(
+                [(local[a], local[b]) for (a, b) in block], dtype=np.int64
+            )
+            match_lists = match_pairs_batched(
+                [descs[iid] for iid in block_ids], pair_idxs,
+                capacity=cap, options=options.matching,
+            )
+
+        items = []
+        verify_slots = []
+        for k, (id1, id2) in enumerate(block):
+            matches = match_lists[k]
+            database.write_matches(id1, id2, matches)
+            if len(matches) < options.min_num_inliers:
+                continue
             cam1 = cameras[images[id1][1]]
             cam2 = cameras[images[id2][1]]
-            matches = match_lightglue(
-                d1.astype(np.float32), get_kp(id1),
-                d2.astype(np.float32), get_kp(id2),
-                (cam1.height, cam1.width), (cam2.height, cam2.width),
-                lightglue_params, lg_opts,
-            )
-        else:
-            matches = match_descriptors(
-                get_desc_dev(id1), get_desc_dev(id2), options.matching
-            )
-        database.write_matches(id1, id2, matches)
-        if len(matches) < options.min_num_inliers:
-            continue
-        cam1 = cameras[images[id1][1]]
-        cam2 = cameras[images[id2][1]]
-        g = estimate_two_view_geometry(
-            cam1, get_kp(id1)[:, :2], cam2, get_kp(id2)[:, :2], matches,
-            options.verification,
-        )
-        if options.guided_matching and g.F is not None and len(g.inlier_matches) > 0:
-            from colmap_tpu.feature.matcher import match_guided
+            items.append((
+                cam1, get_kp(id1)[:, :2], cam2, get_kp(id2)[:, :2], matches
+            ))
+            verify_slots.append(k)
 
-            guided = match_guided(
-                d1, d2, get_kp(id1)[:, :2], get_kp(id2)[:, :2], g.F,
-                options.matching,
-            )
-            if len(guided) > len(g.inlier_matches):
-                g2 = estimate_two_view_geometry(
-                    cam1, get_kp(id1)[:, :2], cam2, get_kp(id2)[:, :2],
-                    guided, options.verification,
+        geoms = estimate_two_view_geometries_batched(
+            items, options.verification, normalized_cache=normalized_cache
+        )
+
+        for slot, g, item in zip(verify_slots, geoms, items):
+            id1, id2 = block[slot]
+            cam1, kp1, cam2, kp2, matches = item
+            if (
+                options.guided_matching
+                and g.F is not None
+                and len(g.inlier_matches) > 0
+            ):
+                from colmap_tpu.feature.matcher import match_guided
+
+                guided = match_guided(
+                    descs[id1], descs[id2], kp1, kp2, g.F, options.matching
                 )
-                if len(g2.inlier_matches) > len(g.inlier_matches):
-                    g = g2
-        if len(g.inlier_matches) >= options.min_num_inliers:
-            database.write_two_view_geometry(id1, id2, g)
-            n_verified += 1
+                if len(guided) > len(g.inlier_matches):
+                    g2 = estimate_two_view_geometry(
+                        cam1, kp1, cam2, kp2, guided, options.verification
+                    )
+                    if len(g2.inlier_matches) > len(g.inlier_matches):
+                        g = g2
+            if len(g.inlier_matches) >= options.min_num_inliers:
+                database.write_two_view_geometry(id1, id2, g)
+                n_verified += 1
     database.commit()
     return n_verified
 

@@ -44,10 +44,25 @@ def problem_from_reconstruction(
 
     camera_ids = sorted({recon.images[i].camera_id for i in image_ids})
     cam_row = {cid: i for i, cid in enumerate(camera_ids)}
-    model_ids = {recon.cameras[c].model_id for c in camera_ids}
-    if len(model_ids) != 1:
-        raise NotImplementedError("mixed camera models per problem not yet supported")
-    model_id = model_ids.pop()
+    model_ids = sorted({int(recon.cameras[c].model_id) for c in camera_ids})
+    if len(model_ids) == 1:
+        model_id = model_ids[0]
+        cam_params = np.stack([recon.cameras[c].params for c in camera_ids])
+    else:
+        # Heterogeneous camera models (reference handles any mix per problem,
+        # bundle_adjustment_ceres.h:40-116): rows padded to the largest
+        # model's param count plus a trailing model-position column consumed
+        # by the residual's lax.switch dispatch.
+        from colmap_tpu.sensor import models as camera_models
+
+        model_id = tuple(model_ids)
+        model_pos = {m: k for k, m in enumerate(model_ids)}
+        p_max = max(camera_models.model_num_params(m) for m in model_ids)
+        cam_params = np.zeros((len(camera_ids), p_max + 1))
+        for row, cid in enumerate(camera_ids):
+            cam = recon.cameras[cid]
+            cam_params[row, : len(cam.params)] = cam.params
+            cam_params[row, -1] = model_pos[int(cam.model_id)]
 
     if point_ids is None:
         pid_set = set()
@@ -61,7 +76,6 @@ def problem_from_reconstruction(
 
     quat = np.stack([recon.cam_from_world(i).quat for i in image_ids])
     t = np.stack([recon.cam_from_world(i).t for i in image_ids])
-    cam_params = np.stack([recon.cameras[c].params for c in camera_ids])
     points = np.stack([recon.points3D[p].xyz for p in point_ids]) if point_ids else np.zeros((0, 3))
 
     obs_frame, obs_cam, obs_point, obs_xy = [], [], [], []
@@ -119,7 +133,7 @@ def problem_from_reconstruction(
         "image_ids": image_ids,
         "camera_ids": camera_ids,
         "point_ids": point_ids,
-        "model_id": int(model_id),
+        "model_id": model_id if isinstance(model_id, tuple) else int(model_id),
     }
     return problem, index
 

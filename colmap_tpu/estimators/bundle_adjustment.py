@@ -99,17 +99,28 @@ def default_masks(problem: BAProblem, model_id: int, options: BAOptions,
     if not options.refine_poses:
         frame_mask = jnp.zeros(F, dtype=dtype)
     frame_trans_mask = jnp.ones((F, 3), dtype=dtype) * frame_mask[:, None]
-    cam_mask = jnp.zeros((C, P), dtype=dtype)
-    mid = int(model_id)
-    if options.refine_focal_length:
-        for i in camera_models.focal_length_idxs(mid):
-            cam_mask = cam_mask.at[:, i].set(1.0)
-    if options.refine_principal_point:
-        for i in camera_models.principal_point_idxs(mid):
-            cam_mask = cam_mask.at[:, i].set(1.0)
-    if options.refine_extra_params:
-        for i in camera_models.extra_params_idxs(mid):
-            cam_mask = cam_mask.at[:, i].set(1.0)
+    import numpy as np
+
+    cam_mask_np = np.zeros((C, P))
+    if isinstance(model_id, tuple):
+        # Heterogeneous problem: per-camera masks from the trailing
+        # model-position column; the column itself stays constant.
+        model_pos = np.rint(
+            np.asarray(problem.cam_params[:, -1])).astype(int)
+        per_row_models = [int(model_id[p]) for p in model_pos]
+    else:
+        per_row_models = [int(model_id)] * C
+    for row, mid in enumerate(per_row_models):
+        if options.refine_focal_length:
+            for i in camera_models.focal_length_idxs(mid):
+                cam_mask_np[row, i] = 1.0
+        if options.refine_principal_point:
+            for i in camera_models.principal_point_idxs(mid):
+                cam_mask_np[row, i] = 1.0
+        if options.refine_extra_params:
+            for i in camera_models.extra_params_idxs(mid):
+                cam_mask_np[row, i] = 1.0
+    cam_mask = jnp.asarray(cam_mask_np, dtype=dtype)
     point_mask = jnp.ones(N, dtype=dtype) if options.refine_points else jnp.zeros(N, dtype=dtype)
     if const_points is not None:
         point_mask = point_mask.at[jnp.asarray(const_points)].set(0.0)
@@ -158,7 +169,7 @@ def _robust_cost(sq_norm, loss: str, scale: float):
     raise ValueError(loss)
 
 
-def make_residual_fn(model_id: int):
+def make_residual_fn(model_id):
     """Per-observation reprojection residual over local deltas.
 
     Returns f(dpose (6,), dcam (P,), dX (3,), quat, t, cam_params, X, xy)
@@ -166,16 +177,32 @@ def make_residual_fn(model_id: int):
     w.r.t. the local parameterization (reference: cost_functions/
     reprojection_error.h, with analytic jacobians replaced by jax autodiff
     of the same projection chain).
+
+    model_id may be a static int (single camera model) or a static tuple of
+    distinct model ids (heterogeneous problem, reference:
+    bundle_adjustment_ceres.h:40-116 instantiates per-model cost functors).
+    In the tuple case each cam_params row is (Pmax + 1,): parameters padded
+    to the largest model plus a trailing model-position column consumed by
+    a lax.switch dispatch (its integer cast has zero tangent, so Jacobians
+    w.r.t. the extra column vanish identically).
     """
+    mixed = isinstance(model_id, tuple)
 
     def f(dpose, dcam, dX, quat, t, cam_params, X, xy):
         dq = _quat_exp(dpose[:3])
         q = rot.quat_multiply(dq, quat)
         tt = t + dpose[3:]
         Xc = rot.quat_rotate(q, X + dX) + tt
-        proj, _ = camera_models.img_from_cam(
-            model_id, cam_params + dcam, Xc, check_cheirality=False
-        )
+        if mixed:
+            mi = jnp.round(cam_params[..., -1]).astype(jnp.int32)
+            proj, _ = camera_models.img_from_cam_switch(
+                model_id, mi, (cam_params + dcam)[..., :-1], Xc,
+                check_cheirality=False,
+            )
+        else:
+            proj, _ = camera_models.img_from_cam(
+                model_id, cam_params + dcam, Xc, check_cheirality=False
+            )
         return proj - xy
 
     return f
@@ -617,11 +644,13 @@ class PackedMaps(NamedTuple):
     cam_pm: jnp.ndarray  # (N, capp) int32
 
 
-def pack_problem(problem: BAProblem, align: int = 8):
+def pack_problem(problem: BAProblem, align: int = 8,
+                 capf: Optional[int] = None, capp: Optional[int] = None):
     """Repack observations into the frame-major padded layout (host).
 
     Returns (packed BAProblem with Of = F*capf observations, PackedMaps,
-    capacities dict). Dummy rows carry obs_w = 0.
+    capacities dict). Dummy rows carry obs_w = 0. capf/capp may be forced
+    by the caller (sharded packing needs uniform capacities across shards).
     """
     import numpy as np
 
@@ -636,7 +665,9 @@ def pack_problem(problem: BAProblem, align: int = 8):
     O = len(obs_frame)
 
     counts_f = np.bincount(obs_frame, weights=None, minlength=F)
-    capf = int(max(1, -(-int(counts_f.max()) // align) * align))
+    if capf is None:
+        capf = int(max(1, -(-int(counts_f.max()) // align) * align))
+    assert int(counts_f.max(initial=0)) <= capf, "capf too small"
     Of = F * capf
     order = np.argsort(obs_frame, kind="stable")
     starts = np.concatenate([[0], np.cumsum(counts_f)]).astype(np.int64)
@@ -667,7 +698,8 @@ def pack_problem(problem: BAProblem, align: int = 8):
 
     # Point-major padded layout over flat slots.
     counts_p = np.bincount(obs_point, minlength=N)
-    capp = int(max(1, -(-int(counts_p.max()) // align) * align))
+    if capp is None:
+        capp = int(max(1, -(-int(counts_p.max()) // align) * align))
     p2f = np.full(N * capp, Of, dtype=np.int32)  # dummy -> Of
     f2p = np.full(Of, N * capp, dtype=np.int32)  # dummy -> N*capp
     order_p = np.argsort(obs_point, kind="stable")
@@ -709,6 +741,21 @@ def pack_problem(problem: BAProblem, align: int = 8):
     return packed, maps, {"capf": capf, "capp": capp}
 
 
+def _psum(x, axis_name):
+    """psum when running as a shard_map shard; identity single-device.
+
+    The sharded packed solver co-partitions points WITH their observations
+    (each device holds its own local frame-major packing), so every
+    cross-layout permutation stays device-local and the only communication
+    is psums of camera-system-sized arrays (6F + C*P floats) — the
+    TPU-native analogue of Caspar's single-GPU LM+PCG
+    (bundle_adjustment_caspar.h:107-120) scaled over ICI.
+    """
+    if axis_name is None:
+        return x
+    return jax.lax.psum(x, axis_name)
+
+
 def _to_pm(x_flat, p2f, N, capp):
     """Frame-major flat (Of, ...) -> point-major (N, capp, ...)."""
     ext = jnp.concatenate(
@@ -736,7 +783,16 @@ def _cam_params_per_obs(problem: BAProblem, maps: Optional[PackedMaps],
     F = problem.quat.shape[0]
     P = problem.cam_params.shape[1]
     if maps is not None:
-        cam_obs = maps.cam_onehot_bin @ problem.cam_params  # (Of, P)
+        # Exact one-hot fetch: HIGHEST precision keeps the MXU path but
+        # forbids the default single-pass bf16 lowering, which would
+        # silently quantize camera params (e.g. a ~1000px focal to ±2px)
+        # inside every cost/Jacobian evaluation on TPU.
+        cam_obs = jax.lax.dot_general(
+            maps.cam_onehot_bin, problem.cam_params,
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=problem.cam_params.dtype,
+        )  # (Of, P)
     else:
         cam_obs = problem.cam_params[problem.obs_cam]
     return cam_obs.reshape(F, capf, P)
@@ -770,13 +826,14 @@ def _residuals_packed(problem: BAProblem, model_id: int, capf: int,
 
 def compute_cost_packed(problem: BAProblem, model_id: int,
                         options: BAOptions, capf: int,
-                        maps: Optional[PackedMaps] = None):
+                        maps: Optional[PackedMaps] = None,
+                        axis_name: Optional[str] = None):
     r = _residuals_packed(problem, model_id, capf, maps)
     sq = jnp.sum(r * r, axis=-1)
     sq = jnp.where(jnp.isfinite(sq), sq, 0.0)
-    return 0.5 * jnp.sum(
+    return _psum(0.5 * jnp.sum(
         _robust_cost(sq, options.loss, options.loss_scale) * problem.obs_w
-    )
+    ), axis_name)
 
 
 def _obs_jacobians_packed(problem: BAProblem, model_id: int,
@@ -832,8 +889,13 @@ class _PackedOperators(NamedTuple):
     lam_diag_cam: jnp.ndarray
 
 
-def _packed_matvec(ops: _PackedOperators, maps: PackedMaps, xp, xc):
-    """Scatter-free (S + λD) @ x on the reduced camera system."""
+def _packed_matvec(ops: _PackedOperators, maps: PackedMaps, xp, xc,
+                   axis_name: Optional[str] = None):
+    """Scatter-free (S + λD) @ x on the reduced camera system.
+
+    Sharded (axis_name set): all per-observation work is local to the
+    shard's own dual layout; the only collective is one psum of the
+    (F, 6) + (C, P) output — a few KB per PCG iteration over ICI."""
     F, capf = ops.Jp_fm.shape[:2]
     N, capp = ops.Jx_pm.shape[:2]
     # u_o = Jp_o xp_f + Jc_o xc_c — all dense.
@@ -857,21 +919,25 @@ def _packed_matvec(ops: _PackedOperators, maps: PackedMaps, xp, xc):
     )
     prod_c2 = jnp.einsum("orp,or->op", ops.Jc_fm, v_fm)
     hcp_c = maps.cam_onehot.T @ prod_c2
-    out_p = hcc_p - hcp_p + ops.lam_diag_pose * xp
-    out_c = hcc_c - hcp_c + ops.lam_diag_cam * xc
+    sum_p, sum_c = _psum((hcc_p - hcp_p, hcc_c - hcp_c), axis_name)
+    out_p = sum_p + ops.lam_diag_pose * xp
+    out_c = sum_c + ops.lam_diag_cam * xc
     return out_p, out_c
 
 
-def _packed_pcg(ops, maps, bp, bc, options: BAOptions):
+def _packed_pcg(ops, maps, bp, bc, options: BAOptions,
+                axis_name: Optional[str] = None):
     F, capf = ops.Jp_fm.shape[:2]
     # Block-Jacobi preconditioner from the 6x6 H_cc pose blocks
     # (Ceres SCHUR_JACOBI): one batched 6x6 inverse per frame; scalar
     # Jacobi for the (few) camera-intrinsics parameters.
     Hcc_blocks = jnp.einsum("fkrd,fkre->fde", ops.Jp_fm, ops.Jp_fm)
+    prod = jnp.einsum("orp,orp->op", ops.Jc_fm, ops.Jc_fm)
+    diag_c_part = maps.cam_onehot.T @ prod
+    Hcc_blocks, diag_c_part = _psum((Hcc_blocks, diag_c_part), axis_name)
     Hcc_blocks = Hcc_blocks + jax.vmap(jnp.diag)(ops.lam_diag_pose + 1e-10)
     Mp_blocks = jnp.linalg.inv(Hcc_blocks)
-    prod = jnp.einsum("orp,orp->op", ops.Jc_fm, ops.Jc_fm)
-    diag_c = maps.cam_onehot.T @ prod + ops.lam_diag_cam
+    diag_c = diag_c_part + ops.lam_diag_cam
     Mc = jnp.where(diag_c > 1e-12, 1.0 / diag_c, 0.0)
 
     def precond(rp, rc):
@@ -889,7 +955,7 @@ def _packed_pcg(ops, maps, bp, bc, options: BAOptions):
 
     def body(i, state):
         xp, xc, rp, rc, pp, pc, rz = state
-        Ap_p, Ap_c = _packed_matvec(ops, maps, pp, pc)
+        Ap_p, Ap_c = _packed_matvec(ops, maps, pp, pc, axis_name)
         pAp = dot(pp, pc, Ap_p, Ap_c)
         alpha = jnp.where(jnp.abs(pAp) > 1e-30, rz / pAp, 0.0)
         xp = xp + alpha * pp
@@ -909,10 +975,16 @@ def _packed_pcg(ops, maps, bp, bc, options: BAOptions):
 
 
 def _lm_step_packed_impl(problem: BAProblem, maps: PackedMaps, model_id: int,
-                         options: BAOptions, masks: BAMasks, lam, nu, cost):
+                         options: BAOptions, masks: BAMasks, lam, nu, cost,
+                         axis_name: Optional[str] = None):
     """One LM iteration in the packed layout; `cost` is the (already
     computed) cost at the current state — carried across iterations so
-    each step pays exactly one residual pass plus one Jacobian pass."""
+    each step pays exactly one residual pass plus one Jacobian pass.
+
+    With axis_name set this runs as a shard_map shard: the shard owns a
+    point chunk plus ALL observations of those points in its own dual
+    frame-/point-major layout; frame/camera reductions are psummed
+    (camera-system-sized, a few KB), point-side state stays local."""
     F = problem.quat.shape[0]
     C, P = problem.cam_params.shape
     N = problem.points.shape[0]
@@ -932,19 +1004,22 @@ def _lm_step_packed_impl(problem: BAProblem, maps: PackedMaps, model_id: int,
     Jx_pm = comb_pm[..., :6].reshape(N, capp, 2, 3)
     r_pm = comb_pm[..., 6:8]
 
-    # Gradient blocks g = -Jᵀ r (dense reductions).
+    # Gradient blocks g = -Jᵀ r (dense reductions; frame/cam psummed).
     gp = -jnp.einsum("fkrd,fkr->fd", Jp_fm, r.reshape(F, capf, 2))
     gc = -(maps.cam_onehot.T @ jnp.einsum("orp,or->op", Jc, r))
+    diag_pose = jnp.einsum("fkrd,fkrd->fd", Jp_fm, Jp_fm)
+    diag_cam = maps.cam_onehot.T @ jnp.einsum("orp,orp->op", Jc, Jc)
+    gp, gc, diag_pose, diag_cam = _psum(
+        (gp, gc, diag_pose, diag_cam), axis_name
+    )
     gx = -jnp.einsum("nkrd,nkr->nd", Jx_pm, r_pm)
 
-    # Point Hessian blocks + damped inverse.
+    # Point Hessian blocks + damped inverse (point-side: shard-local).
     Hpp = jnp.einsum("nkrd,nkre->nde", Jx_pm, Jx_pm)
     diag_pp = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
     damp = lam * diag_pp + 1e-12
     Hpp_inv = _inv3x3_spd(Hpp + jax.vmap(jnp.diag)(damp))
 
-    diag_pose = jnp.einsum("fkrd,fkrd->fd", Jp_fm, Jp_fm)
-    diag_cam = maps.cam_onehot.T @ jnp.einsum("orp,orp->op", Jc, Jc)
     ops = _PackedOperators(
         Jp_fm, Jc, Jx_pm, Hpp_inv, lam * diag_pose, lam * diag_cam
     )
@@ -953,8 +1028,11 @@ def _lm_step_packed_impl(problem: BAProblem, maps: PackedMaps, model_id: int,
     y = jnp.einsum("nde,ne->nd", Hpp_inv, gx)
     v_pm = jnp.einsum("nkrd,nd->nkr", Jx_pm, y)
     v_fm = _to_fm(v_pm.reshape(N * capp, 2), maps.f2p)
-    bp = gp - jnp.einsum("fkrd,fkr->fd", Jp_fm, v_fm.reshape(F, capf, 2))
-    bc = gc - maps.cam_onehot.T @ jnp.einsum("orp,or->op", Jc, v_fm)
+    corr_p = jnp.einsum("fkrd,fkr->fd", Jp_fm, v_fm.reshape(F, capf, 2))
+    corr_c = maps.cam_onehot.T @ jnp.einsum("orp,or->op", Jc, v_fm)
+    corr_p, corr_c = _psum((corr_p, corr_c), axis_name)
+    bp = gp - corr_p
+    bc = gc - corr_c
 
     D = 6 * F + C * P
     use_dense = options.solver_type == "dense_schur" or (
@@ -964,9 +1042,10 @@ def _lm_step_packed_impl(problem: BAProblem, maps: PackedMaps, model_id: int,
         dp, dc = _dense_schur_solve(
             problem, maps, Jp, Jc, Jx, Hpp_inv,
             lam * diag_pose, lam * diag_cam, bp, bc,
+            axis_name=axis_name,
         )
     else:
-        dp, dc = _packed_pcg(ops, maps, bp, bc, options)
+        dp, dc = _packed_pcg(ops, maps, bp, bc, options, axis_name)
 
     # Back-substitution: dx = H_pp⁻¹ (g_x - H_pc [dp; dc]).
     u_fm = jnp.einsum("fkrd,fd->fkr", Jp_fm, dp).reshape(Of, 2)
@@ -976,15 +1055,20 @@ def _lm_step_packed_impl(problem: BAProblem, maps: PackedMaps, model_id: int,
     dx = jnp.einsum("nde,ne->nd", Hpp_inv, gx - w)
 
     new_problem = _apply_update(problem, dp, dc, dx)
-    new_cost = compute_cost_packed(new_problem, model_id, options, capf, maps)
+    new_cost = compute_cost_packed(
+        new_problem, model_id, options, capf, maps, axis_name
+    )
 
     diag_pt = jnp.einsum("nkrd,nkrd->nd", Jx_pm, Jx_pm)
+    # Point-side gain-ratio terms are shard-local -> one scalar psum.
+    pt_terms = _psum(
+        jnp.sum(dx * gx) + lam * jnp.sum(diag_pt * dx * dx), axis_name
+    )
     pred = 0.5 * (
-        jnp.sum(dp * gp) + jnp.sum(dc * gc) + jnp.sum(dx * gx)
+        jnp.sum(dp * gp) + jnp.sum(dc * gc) + pt_terms
         + lam * (
             jnp.sum(diag_pose * dp * dp)
             + jnp.sum(diag_cam * dc * dc)
-            + jnp.sum(diag_pt * dx * dx)
         )
     )
     rho = (cost - new_cost) / jnp.maximum(pred, 1e-30)
@@ -1016,15 +1100,20 @@ def lm_step_packed(problem: BAProblem, maps: PackedMaps, model_id: int,
     return out[:6]
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def lm_solve_fused_packed(problem: BAProblem, maps: PackedMaps, model_id: int,
-                          options: BAOptions, masks: BAMasks):
-    """Full packed LM solve as one device program (see lm_solve_fused)."""
+def _lm_solve_fused_packed(problem: BAProblem, maps: PackedMaps,
+                           model_id: int, options: BAOptions, masks: BAMasks,
+                           axis_name: Optional[str] = None):
+    """Full packed LM solve as one device program (see lm_solve_fused).
+
+    With axis_name, runs as a shard_map shard: every scalar driving the
+    while_loop (costs, lambda, accepted) is psum-replicated, so all shards
+    take identical branches."""
     dtype = problem.points.dtype
     capf = problem.obs_xy.shape[0] // problem.quat.shape[0]
     lam0 = jnp.asarray(options.initial_lambda, dtype=dtype)
     nu0 = jnp.asarray(2.0, dtype=dtype)
-    cost0 = compute_cost_packed(problem, model_id, options, capf, maps)
+    cost0 = compute_cost_packed(problem, model_id, options, capf, maps,
+                                axis_name)
 
     def cond(state):
         problem, lam, nu, it, cur_cost, last_cost, done = state
@@ -1034,7 +1123,8 @@ def lm_solve_fused_packed(problem: BAProblem, maps: PackedMaps, model_id: int,
         problem, lam, nu, it, cur_cost, last_cost, done = state
         problem, lam, nu, cost, new_cost, accepted, cur_cost = (
             _lm_step_packed_impl(
-                problem, maps, model_id, options, masks, lam, nu, cur_cost
+                problem, maps, model_id, options, masks, lam, nu, cur_cost,
+                axis_name,
             )
         )
         rel = jnp.abs(last_cost - new_cost) / jnp.maximum(new_cost, 1e-30)
@@ -1050,6 +1140,13 @@ def lm_solve_fused_packed(problem: BAProblem, maps: PackedMaps, model_id: int,
     state = jax.lax.while_loop(cond, body, state)
     problem = state[0]
     return problem, state[4], state[3]
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def lm_solve_fused_packed(problem: BAProblem, maps: PackedMaps, model_id: int,
+                          options: BAOptions, masks: BAMasks):
+    """Full packed LM solve as one device program (see lm_solve_fused)."""
+    return _lm_solve_fused_packed(problem, maps, model_id, options, masks)
 
 
 def solve_packed(problem: BAProblem, model_id: int,
@@ -1113,8 +1210,13 @@ def _chol3x3(A, eps=1e-20):
 
 def _dense_schur_solve(problem, maps, Jp, Jc, Jx, Hpp_inv, lam_diag_pose,
                        lam_diag_cam, bp, bc, point_chunk: int = 4096,
-                       use_bf16: bool = True):
-    """Solve (S + lam D) [dp; dc] = [bp; bc] by explicit dense Schur."""
+                       use_bf16: bool = True,
+                       axis_name: Optional[str] = None):
+    """Solve (S + lam D) [dp; dc] = [bp; bc] by explicit dense Schur.
+
+    Sharded: each shard accumulates S over its own points; one psum of the
+    D x D matrix assembles the global S, and the Cholesky runs replicated
+    (D = 6F + C*P is small whenever this path is selected)."""
     F = problem.quat.shape[0]
     C, P = problem.cam_params.shape
     N = problem.points.shape[0]
@@ -1247,7 +1349,7 @@ def _dense_schur_solve(problem, maps, Jp, Jc, Jx, Hpp_inv, lam_diag_pose,
     lam_diag = jnp.concatenate(
         [lam_diag_pose.reshape(-1), lam_diag_cam.reshape(-1)]
     )
-    S = Hcc - S_corr + jnp.diag(lam_diag + 1e-10)
+    S = _psum(Hcc - S_corr, axis_name) + jnp.diag(lam_diag + 1e-10)
     b = jnp.concatenate([bp.reshape(-1), bc.reshape(-1)])
     chol = jnp.linalg.cholesky(S)
     d = jax.scipy.linalg.cho_solve((chol, True), b)

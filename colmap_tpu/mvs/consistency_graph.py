@@ -39,6 +39,11 @@ class ConsistencyGraph:
             )
             if num < 0 or not (0 <= col < self.width and 0 <= row < self.height):
                 raise ValueError(f"corrupt consistency graph at offset {i}")
+            if i + 3 + num > n:
+                raise ValueError(
+                    f"truncated consistency graph: record at offset {i} "
+                    f"declares {num} entries but only {n - i - 3} remain"
+                )
             if num > 0:
                 m[row, col] = i + 2
             i += 3 + num

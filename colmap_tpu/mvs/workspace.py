@@ -122,6 +122,9 @@ def run_patch_match_workspace(
         )
     if problems is None:
         problems = select_patch_match_problems(recon, max_num_src_images)
+    id_to_model_idx = {
+        iid: k for k, iid in enumerate(recon.reg_image_ids())
+    }
 
     def build_problem(spec, src_depth_lookup=None):
         ref_img = recon.images[spec.ref_image_id]
@@ -192,7 +195,13 @@ def run_patch_match_workspace(
             if write_consistency_graph:
                 from colmap_tpu.mvs.consistency_graph import ConsistencyGraph
 
-                ConsistencyGraph.from_mask(mask, kept_ids).write(
+                # Reference semantics (patch_match_cuda.cu:1377): the graph
+                # stores indices into the workspace model's image array
+                # (position in RegImageIds() order, mvs/model.cc:65-83), NOT
+                # database image ids — so reference consumers (StereoFusion)
+                # resolve the right source images.
+                src_idxs = [id_to_model_idx[i] for i in kept_ids]
+                ConsistencyGraph.from_mask(mask, src_idxs).write(
                     os.path.join(output_dir, "stereo", "consistency_graphs",
                                  f"{name}.{suffix}.bin")
                 )

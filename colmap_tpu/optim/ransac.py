@@ -180,8 +180,7 @@ def ransac(
             model0, score0, count0, residual_fn, local_refine_fn, mask, max_sq, msac
         )
 
-    def cond(state):
-        key, model, score, count, trials = state
+    def continue_p(count, trials):
         dyn = _dyn_max_trials(
             count, num_valid, min_sample_size, options.confidence,
             options.dyn_num_trials_multiplier,
@@ -190,22 +189,44 @@ def ransac(
             (trials < options.min_num_trials) | (trials < dyn)
         )
 
+    # The early-exit flag lives IN the state and every update is guarded by
+    # it: under vmap (pair-batched verification) the while_loop runs until
+    # every lane is done, but finished lanes freeze — so batched results are
+    # bit-identical to the unbatched per-pair run. A lane without enough
+    # valid rows for a minimal sample can never succeed: mark it done
+    # immediately instead of spinning to max_num_trials.
+    done0 = ~continue_p(count0, jnp.asarray(K)) | (
+        num_valid < min_sample_size
+    )
+
+    def cond(state):
+        return ~state[5]
+
     def body(state):
-        key, model, score, count, trials = state
-        key, sub = jax.random.split(key)
+        key, model, score, count, trials, done = state
+        key2, sub = jax.random.split(key)
         new_model, new_score, new_count = propose_and_score(sub, trials)
-        model, score, count = best_of(
+        c_model, c_score, c_count = best_of(
             model, score, count, new_model, new_score, new_count
         )
         if local_refine_fn is not None:
-            model, score, count = _try_refine(
-                model, score, count, residual_fn, local_refine_fn, mask, max_sq,
-                msac,
+            c_model, c_score, c_count = _try_refine(
+                c_model, c_score, c_count, residual_fn, local_refine_fn, mask,
+                max_sq, msac,
             )
-        return key, model, score, count, trials + K
+        upd = ~done
+        model = jax.tree.map(
+            lambda a, b: jnp.where(upd, b, a), model, c_model
+        )
+        score = jnp.where(upd, c_score, score)
+        count = jnp.where(upd, c_count, count)
+        trials = jnp.where(upd, trials + K, trials)
+        key = jnp.where(upd, key2, key)
+        done = done | ~continue_p(count, trials)
+        return key, model, score, count, trials, done
 
-    key, model, score, count, trials = jax.lax.while_loop(
-        cond, body, (key, model0, score0, count0, jnp.asarray(K))
+    key, model, score, count, trials, _done = jax.lax.while_loop(
+        cond, body, (key, model0, score0, count0, jnp.asarray(K), done0)
     )
 
     res = residual_fn(jax.tree.map(lambda x: x[None], model))[0]

@@ -386,8 +386,10 @@ def import_images(
         if camera_mode in (None, "SINGLE") and shared_camera_id is not None:
             camera_id = shared_camera_id
         else:
-            cam.camera_id = len(db.read_cameras()) + 1
-            camera_id = db.write_camera(cam)
+            # Let SQLite assign the id: avoids UNIQUE collisions with
+            # pre-existing non-contiguous camera ids and the O(n^2)
+            # read_cameras() scan per image.
+            camera_id = db.write_camera(cam, use_camera_id=False)
             if camera_mode in (None, "SINGLE"):
                 shared_camera_id = camera_id
         image_ids.append(db.write_image(name, camera_id))

@@ -53,6 +53,12 @@ class SyntheticDatasetOptions:
     camera_model_id: int = int(camera_models.CameraModelId.SIMPLE_RADIAL)
     camera_params: tuple = (1280.0, 512.0, 384.0, 0.05)
     camera_has_prior_focal_length: bool = False
+    # Heterogeneous datasets: when set, rig r uses camera_model_ids[r %
+    # len] with camera_params_list[r % len] (reference synthetic datasets
+    # are single-model; mixed-model scenes exercise the per-problem model
+    # mixing of bundle_adjustment_ceres.h:40-116).
+    camera_model_ids: Optional[tuple] = None
+    camera_params_list: Optional[tuple] = None
     num_points2D_without_point3D: int = 10
     inlier_match_ratio: float = 1.0
     two_view_geometry_has_relative_pose: bool = False
@@ -117,14 +123,21 @@ def synthesize_dataset(
     for rig_idx in range(options.num_rigs):
         rig = Rig(rig_id=rig_idx + 1)
         camera_ids = []
+        if options.camera_model_ids:
+            k = rig_idx % len(options.camera_model_ids)
+            rig_model_id = int(options.camera_model_ids[k])
+            rig_params = options.camera_params_list[k]
+        else:
+            rig_model_id = options.camera_model_id
+            rig_params = options.camera_params
         for camera_idx in range(options.num_cameras_per_rig):
             camera_id = rig_idx * options.num_cameras_per_rig + camera_idx + 1
             camera = Camera(
                 camera_id=camera_id,
-                model_id=options.camera_model_id,
+                model_id=rig_model_id,
                 width=options.camera_width,
                 height=options.camera_height,
-                params=np.array(options.camera_params, dtype=np.float64),
+                params=np.array(rig_params, dtype=np.float64),
                 has_prior_focal_length=options.camera_has_prior_focal_length,
             )
             recon.add_camera(camera)

@@ -435,6 +435,32 @@ def img_from_cam(model_id, params, uvw, check_cheirality=True):
     return jnp.stack([x, y], axis=-1), valid
 
 
+def img_from_cam_switch(model_ids: tuple, idx, params, uvw,
+                        check_cheirality=True):
+    """Mixed-model projection: ``lax.switch`` over a static model tuple.
+
+    reference behavior: per-observation cost functors instantiated per
+    camera model (bundle_adjustment_ceres.h:40-116 via CAMERA_MODEL_CASES).
+    TPU-native form: one program with a static unroll over the distinct
+    models present; ``idx`` selects the branch per call.
+
+    Args:
+        model_ids: static tuple of distinct camera model ids present.
+        idx: traced int index into model_ids.
+        params: (Pmax,) parameter row padded to the max param count.
+        uvw: (..., 3) camera-frame points.
+    Returns (xy (..., 2), valid (...,)).
+    """
+    branches = [
+        (lambda p, x, m=int(m): img_from_cam(
+            m, p[..., :model_num_params(m)], x,
+            check_cheirality=check_cheirality,
+        ))
+        for m in model_ids
+    ]
+    return jax.lax.switch(idx, branches, params, uvw)
+
+
 @partial(jax.jit, static_argnums=(0,))
 def cam_from_img(model_id, params, xy):
     """Lift pixel coordinates to the normalized z=1 camera plane.

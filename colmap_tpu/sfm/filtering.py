@@ -32,7 +32,15 @@ def _filter_kernel(model_id, quat, t, cam_params, xyz, obs_xy, valid):
 
     Xc = rot.quat_rotate(quat, xyz[:, None, :]) + t
     depth = Xc[..., 2]
-    proj, ok = camera_models.img_from_cam(model_id, cam_params, Xc)
+    if isinstance(model_id, tuple):
+        mi = jnp.round(cam_params[..., -1]).astype(jnp.int32)
+        proj, ok = jax.vmap(jax.vmap(
+            lambda idx, p, x: camera_models.img_from_cam_switch(
+                model_id, idx, p, x
+            )
+        ))(mi, cam_params[..., :-1], Xc)
+    else:
+        proj, ok = camera_models.img_from_cam(model_id, cam_params, Xc)
     err = jnp.linalg.norm(proj - obs_xy, axis=-1)
     err = jnp.where(ok & valid, err, jnp.inf)
     err = jnp.where(valid, err, 0.0)
@@ -69,12 +77,20 @@ def filter_points3D(
     if not point_ids:
         return 0
 
-    # Single camera model per scene assumed (mixed models: group by model).
-    model_ids = {c.model_id for c in recon.cameras.values()}
-    if len(model_ids) != 1:
-        raise NotImplementedError("mixed camera models in filtering")
-    model_id = int(model_ids.pop())
-    n_params = camera_models.model_num_params(model_id)
+    # Heterogeneous camera models dispatch via lax.switch on a trailing
+    # model-position column (reference handles any mix per problem,
+    # observation_manager.h:50-200 is model-agnostic through Camera).
+    model_ids = sorted({int(c.model_id) for c in recon.cameras.values()})
+    if len(model_ids) == 1:
+        model_id = model_ids[0]
+        n_params = camera_models.model_num_params(model_id)
+        model_pos = None
+    else:
+        model_id = tuple(model_ids)
+        model_pos = {m: k for k, m in enumerate(model_ids)}
+        n_params = max(
+            camera_models.model_num_params(m) for m in model_ids
+        ) + 1
 
     P = len(point_ids)
     Pb = bucket_size(P, 64)
@@ -102,7 +118,12 @@ def filter_points3D(
             q, tt = pose_cache[el.image_id]
             quat[i, v] = q
             tvec[i, v] = tt
-            params[i, v] = recon.cameras[img.camera_id].params
+            cam = recon.cameras[img.camera_id]
+            if model_pos is None:
+                params[i, v] = cam.params
+            else:
+                params[i, v, : len(cam.params)] = cam.params
+                params[i, v, -1] = model_pos[int(cam.model_id)]
             obs_xy[i, v] = img.points2D_xy[el.point2D_idx]
             valid[i, v] = True
             refs.append(el)

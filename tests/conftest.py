@@ -19,3 +19,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persist compiled executables across test runs (compiles dominate suite
+# wall-clock; the cache turns repeat runs into warm starts).
+from colmap_tpu.utils.jax_cache import enable as _enable_jax_cache  # noqa: E402
+
+_enable_jax_cache()
