@@ -127,7 +127,10 @@ def _read_all_descriptors(db, max_per_image=None):
 
 
 def _cmd_vocab_tree_builder(args):
-    from colmap_tpu.retrieval.visual_index import build_vocabulary
+    from colmap_tpu.retrieval.visual_index import (
+        build_vocabulary,
+        build_vocabulary_tree,
+    )
     from colmap_tpu.scene.database import Database
 
     db = Database(args.database_path, must_exist=True)
@@ -138,9 +141,24 @@ def _cmd_vocab_tree_builder(args):
         all_desc = all_desc[
             rng.choice(len(all_desc), args.max_num_descriptors, replace=False)
         ]
-    vocab = build_vocabulary(all_desc, num_words=args.num_words)
-    np.savez(args.vocab_tree_path, vocabulary=np.asarray(vocab, dtype=np.float32))
-    print(f"Built vocabulary of {args.num_words} words -> {args.vocab_tree_path}")
+    if args.depth > 1:
+        tree = build_vocabulary_tree(
+            all_desc, branching=args.branching, depth=args.depth
+        )
+        np.savez(
+            args.vocab_tree_path,
+            **{f"level_{i}": lv for i, lv in enumerate(tree.levels)},
+        )
+        print(
+            f"Built hierarchical vocabulary ({args.branching}^{args.depth} = "
+            f"{tree.num_words} words) -> {args.vocab_tree_path}"
+        )
+    else:
+        vocab = build_vocabulary(all_desc, num_words=args.num_words)
+        np.savez(
+            args.vocab_tree_path, vocabulary=np.asarray(vocab, dtype=np.float32)
+        )
+        print(f"Built vocabulary of {args.num_words} words -> {args.vocab_tree_path}")
     db.close()
 
 
@@ -148,7 +166,14 @@ def _load_or_train_index(vocab_tree_path, desc_by_image, num_words=256):
     from colmap_tpu.retrieval.visual_index import VisualIndex
 
     if vocab_tree_path and os.path.exists(vocab_tree_path):
-        vocab = np.load(vocab_tree_path)["vocabulary"]
+        from colmap_tpu.retrieval.visual_index import TreeVocabulary
+
+        data = np.load(vocab_tree_path)
+        if "level_0" in data:
+            n_levels = sum(1 for k in data.files if k.startswith("level_"))
+            vocab = TreeVocabulary([data[f"level_{i}"] for i in range(n_levels)])
+        else:
+            vocab = data["vocabulary"]
         index = VisualIndex(vocab)
     else:
         all_desc = np.concatenate([d for d in desc_by_image.values() if len(d)])
@@ -761,6 +786,10 @@ def register(sub):
     c.add_argument("--database_path", required=True)
     c.add_argument("--vocab_tree_path", required=True)
     c.add_argument("--num_words", type=int, default=1024)
+    c.add_argument("--branching", type=int, default=10)
+    c.add_argument("--depth", type=int, default=1,
+                   help="depth > 1 builds a hierarchical k-means tree with "
+                        "branching**depth effective words")
     c.add_argument("--max_num_descriptors", type=int, default=200000)
     c.add_argument("--max_features_per_image", type=int, default=2000)
     c.set_defaults(fn=_cmd_vocab_tree_builder)

@@ -858,6 +858,10 @@ def main(argv=None):
 
     _enable_jax_cache()
     _logging.set_verbosity(getattr(args, "log_level", 0))
+    # Join a multi-host cluster when launched under one (no-op single-host).
+    from colmap_tpu.parallel import multihost as _multihost
+
+    _multihost.initialize()
     profile_dir = getattr(args, "profile_dir", "")
     if profile_dir:
         import jax

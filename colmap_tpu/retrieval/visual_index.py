@@ -3,14 +3,25 @@ file with binary-signature re-ranking.
 
 reference behavior: src/colmap/retrieval/visual_index.h:52-120 (faiss-backed
 k-means tree + inverted index with Hamming embedding, TF-IDF scoring,
-Build/Add/Query). TPU-native redesign: a flat vocabulary trained by Lloyd
-k-means where the assignment step is one descriptor·centroidᵀ matmul on the
-MXU (argmin of squared distance) and the update step is a segment-sum —
-a flat codebook at the same effective word count replaces the hierarchical
-tree, which only exists to make CPU assignment cheap. Inverted lists and
-TF-IDF scoring stay on host (tiny). Binary signatures (per-dimension
-median threshold, Hamming distance) provide the reference's
-Hamming-embedding re-ranking.
+Build/Add/Query). TPU-native redesign: two vocabulary backends share one
+index —
+
+* flat: Lloyd k-means where the assignment step is one
+  descriptor·centroidᵀ matmul on the MXU (argmin of squared distance) and
+  the update step is a segment-sum; right answer up to a few thousand
+  words.
+* hierarchical (``TreeVocabulary``): a branching-B depth-L k-means tree
+  (B^L effective words, e.g. 10^5) matching the reference's scalability.
+  Training runs ONE jitted program per level: every node's Lloyd
+  iteration executes simultaneously as a vmapped batch over
+  (nodes, samples, D) padded descriptor blocks, instead of the
+  reference's per-node recursive CPU k-means. Assignment is tree
+  descent: per level one gather of each descriptor's current node's B
+  children + a tiny batched einsum, O(N·B·D·L) instead of O(N·B^L·D).
+
+Inverted lists and TF-IDF scoring stay on host (tiny). Binary signatures
+(per-dimension median threshold, Hamming distance) provide the
+reference's Hamming-embedding re-ranking.
 """
 
 from __future__ import annotations
@@ -78,6 +89,158 @@ def build_vocabulary(
     return np.asarray(centroids)
 
 
+@partial(jax.jit, static_argnames=("branching",))
+def _tree_kmeans_level_step(desc, mask, centroids, branching: int):
+    """One Lloyd iteration for EVERY node of one tree level at once.
+
+    desc (M, S, D): per-node padded descriptor samples; mask (M, S) valid
+    flags; centroids (M, B, D). Runs as a batch of tiny k-means problems —
+    the whole level is a single XLA program regardless of node count.
+    """
+    d2 = (
+        jnp.sum(desc**2, axis=2, keepdims=True)
+        - 2.0 * jnp.einsum("msd,mbd->msb", desc, centroids)
+        + jnp.sum(centroids**2, axis=2)[:, None, :]
+    )  # (M, S, B)
+    assign = jnp.argmin(d2, axis=2)  # (M, S)
+    onehot = jax.nn.one_hot(assign, branching, dtype=desc.dtype) * mask[..., None]
+    sums = jnp.einsum("msb,msd->mbd", onehot, desc)
+    counts = jnp.sum(onehot, axis=1)  # (M, B)
+    new_centroids = jnp.where(
+        counts[..., None] > 0,
+        sums / jnp.maximum(counts[..., None], 1.0),
+        centroids,
+    )
+    return new_centroids, assign
+
+
+def _tree_descend(desc, levels):
+    """Assign descriptors to leaf words by tree descent.
+
+    desc (N, D); levels: tuple of (nodes_l, B, D) arrays. Returns leaf
+    word ids in [0, B^L). Each level is one (N, B, D) gather + einsum —
+    no data-dependent shapes, so the loop unrolls statically under jit.
+    """
+    n = desc.shape[0]
+    node = jnp.zeros((n,), dtype=jnp.int32)
+    for level in levels:
+        b = level.shape[1]
+        cents = level[node]  # (N, B, D)
+        d2 = (
+            jnp.sum(desc**2, axis=1, keepdims=True)
+            - 2.0 * jnp.einsum("nd,nbd->nb", desc, cents)
+            + jnp.sum(cents**2, axis=2)
+        )
+        child = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        node = node * b + child
+    return node
+
+
+_tree_descend_jit = jax.jit(_tree_descend)
+
+
+@dataclasses.dataclass
+class TreeVocabulary:
+    """Hierarchical k-means vocabulary (reference:
+    src/colmap/retrieval/visual_index.h:52-120, the faiss IVF tree).
+
+    ``levels[l]`` has shape (branching**l, branching, D): the children of
+    every level-l node. Leaf word count = branching**depth.
+    """
+
+    levels: List[np.ndarray]
+
+    @property
+    def branching(self) -> int:
+        return self.levels[0].shape[1]
+
+    @property
+    def depth(self) -> int:
+        return len(self.levels)
+
+    @property
+    def num_words(self) -> int:
+        return self.branching ** self.depth
+
+    @property
+    def leaf_centroids(self) -> np.ndarray:
+        lv = self.levels[-1]
+        return lv.reshape(-1, lv.shape[-1])
+
+    def assign(self, desc: np.ndarray) -> np.ndarray:
+        d = jnp.asarray(np.asarray(desc, dtype=np.float32))
+        levels = tuple(jnp.asarray(lv) for lv in self.levels)
+        return np.asarray(_tree_descend_jit(d, levels))
+
+
+def build_vocabulary_tree(
+    descriptors: np.ndarray,
+    branching: int = 10,
+    depth: int = 4,
+    num_iterations: int = 10,
+    max_samples_per_node: int = 1024,
+    seed: int = 0,
+) -> TreeVocabulary:
+    """Train a hierarchical k-means vocabulary level by level.
+
+    Level l training is ONE device program: every node's descriptor subset
+    is subsampled/padded to ``max_samples_per_node`` and all nodes' Lloyd
+    iterations run as a vmapped batch. Empty nodes inherit a perturbed
+    copy of their parent centroid so descent never dead-ends.
+    """
+    rng = np.random.default_rng(seed)
+    desc = np.asarray(descriptors, dtype=np.float32)
+    n, dim = desc.shape
+    assign = np.zeros(n, dtype=np.int64)  # current node of each descriptor
+    levels: List[np.ndarray] = []
+    for level in range(depth):
+        num_nodes = branching ** level
+        # Gather per-node padded sample blocks.
+        blocks = np.zeros((num_nodes, max_samples_per_node, dim), np.float32)
+        mask = np.zeros((num_nodes, max_samples_per_node), np.float32)
+        init = np.zeros((num_nodes, branching, dim), np.float32)
+        order = np.argsort(assign, kind="stable")
+        bounds = np.searchsorted(assign[order], np.arange(num_nodes + 1))
+        for m in range(num_nodes):
+            idx = order[bounds[m]:bounds[m + 1]]
+            if len(idx) > max_samples_per_node:
+                idx = rng.choice(idx, max_samples_per_node, replace=False)
+            k = len(idx)
+            blocks[m, :k] = desc[idx]
+            mask[m, :k] = 1.0
+            if k >= branching:
+                init[m] = desc[rng.choice(idx, branching, replace=False)]
+            elif k > 0:
+                reps = desc[idx[rng.integers(0, k, branching)]]
+                init[m] = reps + rng.normal(0, 1.0, (branching, dim))
+            else:
+                parent = (
+                    levels[-1].reshape(-1, dim)[m] if levels else desc.mean(0)
+                )
+                init[m] = parent + rng.normal(0, 1.0, (branching, dim))
+        cents = jnp.asarray(init)
+        d_dev, m_dev = jnp.asarray(blocks), jnp.asarray(mask)
+        for _ in range(num_iterations):
+            cents, _ = _tree_kmeans_level_step(d_dev, m_dev, cents, branching)
+        level_cents = np.asarray(cents)
+        levels.append(level_cents)
+        # Re-assign ALL descriptors (not just the samples) to children.
+        child = np.empty(n, dtype=np.int64)
+        for m in range(num_nodes):
+            idx = order[bounds[m]:bounds[m + 1]]
+            if len(idx) == 0:
+                continue
+            c = level_cents[m]  # (B, D)
+            d2 = (
+                np.sum(desc[idx] ** 2, axis=1, keepdims=True)
+                - 2.0 * desc[idx] @ c.T
+                + np.sum(c**2, axis=1)[None, :]
+            )
+            child[idx] = np.argmin(d2, axis=1)
+        assign = assign * branching + child
+    return TreeVocabulary(levels)
+
+
 @dataclasses.dataclass
 class QueryResult:
     image_id: int
@@ -87,9 +250,15 @@ class QueryResult:
 class VisualIndex:
     """TF-IDF inverted-file index with binary-signature re-ranking."""
 
-    def __init__(self, vocabulary: np.ndarray):
-        self.vocabulary = np.asarray(vocabulary, dtype=np.float32)
-        self.num_words = len(vocabulary)
+    def __init__(self, vocabulary):
+        if isinstance(vocabulary, TreeVocabulary):
+            self.tree: Optional[TreeVocabulary] = vocabulary
+            self.vocabulary = vocabulary.leaf_centroids
+            self.num_words = vocabulary.num_words
+        else:
+            self.tree = None
+            self.vocabulary = np.asarray(vocabulary, dtype=np.float32)
+            self.num_words = len(self.vocabulary)
         # Per-dimension median of centroid projections for binary signatures.
         self.signature_thresholds = np.median(self.vocabulary, axis=0)
         self.inverted: Dict[int, List[Tuple[int, np.ndarray]]] = {}
@@ -101,6 +270,20 @@ class VisualIndex:
     @staticmethod
     def create(descriptors: np.ndarray, num_words: int = 1024, **kw) -> "VisualIndex":
         return VisualIndex(build_vocabulary(descriptors, num_words, **kw))
+
+    @staticmethod
+    def create_tree(
+        descriptors: np.ndarray, branching: int = 10, depth: int = 4, **kw
+    ) -> "VisualIndex":
+        """Hierarchical index (branching**depth effective words)."""
+        return VisualIndex(build_vocabulary_tree(descriptors, branching, depth, **kw))
+
+    def _assign(self, desc: np.ndarray) -> np.ndarray:
+        if self.tree is not None:
+            return self.tree.assign(desc)
+        return np.asarray(
+            _assign_words(jnp.asarray(desc), jnp.asarray(self.vocabulary))
+        )
 
     def _signatures(self, desc: np.ndarray) -> np.ndarray:
         """64-bit-ish binary signatures: sign of (desc - threshold) on the
@@ -119,7 +302,7 @@ class VisualIndex:
         desc = np.asarray(descriptors, dtype=np.float32)
         if len(desc) == 0:
             return
-        words = np.asarray(_assign_words(jnp.asarray(desc), jnp.asarray(self.vocabulary)))
+        words = self._assign(desc)
         sigs = self._signatures(desc)
         counts: Dict[int, int] = {}
         for w, s in zip(words, sigs):
@@ -142,7 +325,7 @@ class VisualIndex:
         desc = np.asarray(descriptors, dtype=np.float32)
         if len(desc) == 0 or self.num_images == 0:
             return []
-        words = np.asarray(_assign_words(jnp.asarray(desc), jnp.asarray(self.vocabulary)))
+        words = self._assign(desc)
         sigs = self._signatures(desc)
         scores: Dict[int, float] = {}
         for w, s in zip(words, sigs):
@@ -179,9 +362,7 @@ class VisualIndex:
         if not prelim:
             return []
         desc = np.asarray(descriptors, dtype=np.float32)
-        words_q = np.asarray(
-            _assign_words(jnp.asarray(desc), jnp.asarray(self.vocabulary))
-        ).astype(np.int64)
+        words_q = self._assign(desc).astype(np.int64)
         from colmap_tpu.feature.keypoints import keypoints_to_xyso
 
         kp_q = keypoints_to_xyso(np.asarray(keypoints, dtype=np.float32))

@@ -110,9 +110,18 @@ class HierarchicalPipeline:
         if self.options.verbose:
             logging.info("Clustered %d images into %d leaves", len(image_ids), len(clusters))
 
-        # Reconstruct each leaf independently (cluster-per-host on TPU pods).
+        # Reconstruct each leaf independently. Multi-host: each process
+        # takes a strided slice of the leaves (cluster-per-host dispatch,
+        # parallel/multihost.py); single-host this is all of them.
+        from colmap_tpu.parallel import multihost
+
+        local = set(
+            ci for ci, _ in multihost.local_work_slice(list(enumerate(clusters)))
+        )
         subs: List[Reconstruction] = []
         for ci, cluster in enumerate(clusters):
+            if ci not in local:
+                continue
             names = {
                 name for (iid, name, _) in self.database.read_images()
                 if iid in set(cluster)

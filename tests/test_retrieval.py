@@ -134,3 +134,49 @@ def test_query_with_spatial_verification():
 
     results = index.query_with_verification(desc, kp_q, num_images=2)
     assert results[0].image_id == 1
+
+
+def test_tree_vocabulary_descent_matches_exhaustive():
+    """Tree descent must agree with exhaustive leaf-centroid argmin on
+    well-separated clusters (reference: visual_index tree quantization)."""
+    from colmap_tpu.retrieval.visual_index import build_vocabulary_tree
+
+    rng = np.random.default_rng(1)
+    descs, centers = _clustered_descriptors(rng, 24, 40, noise=2.0)
+    tree = build_vocabulary_tree(descs, branching=3, depth=3, seed=1)
+    assert tree.num_words == 27
+    words = tree.assign(descs)
+    assert words.shape == (len(descs),)
+    assert words.min() >= 0 and words.max() < 27
+    # Exhaustive assignment against flattened leaf centroids.
+    leaf = tree.leaf_centroids
+    d2 = ((descs[:, None, :] - leaf[None]) ** 2).sum(-1)
+    exact = d2.argmin(1)
+    # Tree descent is approximate; on well-separated clusters it should
+    # agree with the exhaustive answer for the vast majority.
+    agreement = float((words == exact).mean())
+    assert agreement > 0.9
+    # Same-cluster descriptors should map to the same word.
+    per = 40
+    same = sum(
+        len(set(words[i * per:(i + 1) * per].tolist())) == 1 for i in range(24)
+    )
+    assert same >= 16
+
+
+def test_tree_index_retrieval_parity():
+    """Hierarchical index retrieves the right neighbors like the flat one."""
+    rng = np.random.default_rng(2)
+    base, _ = _clustered_descriptors(rng, 32, 30, noise=3.0)
+    per_image = 60
+    images = {
+        i: base[i * per_image:(i + 1) * per_image] for i in range(8)
+    }
+    index = VisualIndex.create_tree(base, branching=4, depth=3, seed=2)
+    assert index.num_words == 64
+    for iid, d in images.items():
+        index.add(iid, d)
+    # Query with a noisy copy of image 3's descriptors: it must rank first.
+    q = np.clip(images[3] + rng.normal(0, 2.0, images[3].shape), 0, 255)
+    res = index.query(q, num_images=3)
+    assert res and res[0].image_id == 3
