@@ -528,3 +528,176 @@ def set_random_seed(seed: int):
 
 
 _default_seed = 0
+
+
+# ---------------------------------------------------------------------------
+# Class surface + estimator bindings (reference: src/pycolmap/main.cc:34-75
+# binds every layer; these re-export the native classes under the
+# pycolmap names and wrap the RANSAC cores with pycolmap's dict returns).
+
+from colmap_tpu.geometry.rigid3 import Rigid3 as Rigid3d  # noqa: F401,E402
+from colmap_tpu.geometry.rigid3 import Sim3 as Sim3d  # noqa: F401,E402
+from colmap_tpu.optim.ransac import RansacOptions as RANSACOptions  # noqa: F401,E402
+from colmap_tpu.scene.correspondence_graph import (  # noqa: F401,E402
+    CorrespondenceGraph,
+)
+from colmap_tpu.scene.database_cache import DatabaseCache  # noqa: F401,E402
+from colmap_tpu.scene.types import TwoViewGeometryConfig  # noqa: F401,E402
+from colmap_tpu.sfm.incremental_mapper import (  # noqa: F401,E402
+    IncrementalMapper,
+)
+from colmap_tpu.sfm.incremental_pipeline import (  # noqa: F401,E402
+    IncrementalPipelineOptions,
+)
+
+
+def _pad_pair(points1, points2):
+    import jax.numpy as jnp
+
+    from colmap_tpu.utils.bucketing import bucket_size, pad_rows
+
+    n = len(points1)
+    bucket = bucket_size(n, 256)
+    x1 = jnp.asarray(pad_rows(np.asarray(points1, np.float64), bucket),
+                     dtype=floatx())
+    x2 = jnp.asarray(pad_rows(np.asarray(points2, np.float64), bucket),
+                     dtype=floatx())
+    mask = jnp.asarray(np.arange(bucket) < n)
+    return n, x1, x2, mask
+
+
+def estimate_fundamental_matrix(points1, points2, options=None):
+    """reference: pycolmap.estimate_fundamental_matrix (7pt LO-RANSAC)."""
+    import jax
+
+    from colmap_tpu.estimators.two_view_geometry import _ransac_f
+    from colmap_tpu.optim.ransac import RansacOptions
+
+    n, x1, x2, mask = _pad_pair(points1, points2)
+    res = _ransac_f(jax.random.PRNGKey(_default_seed), x1, x2, mask,
+                    options or RansacOptions())
+    if not bool(res.success):
+        return None
+    return {"F": np.asarray(res.model),
+            "num_inliers": int(res.num_inliers),
+            "inlier_mask": np.asarray(res.inlier_mask)[:n]}
+
+
+def estimate_homography_matrix(points1, points2, options=None):
+    """reference: pycolmap.estimate_homography_matrix (4pt DLT LO-RANSAC)."""
+    import jax
+
+    from colmap_tpu.estimators.two_view_geometry import _ransac_h
+    from colmap_tpu.optim.ransac import RansacOptions
+
+    n, x1, x2, mask = _pad_pair(points1, points2)
+    res = _ransac_h(jax.random.PRNGKey(_default_seed), x1, x2, mask,
+                    options or RansacOptions())
+    if not bool(res.success):
+        return None
+    return {"H": np.asarray(res.model),
+            "num_inliers": int(res.num_inliers),
+            "inlier_mask": np.asarray(res.inlier_mask)[:n]}
+
+
+def estimate_absolute_pose(points2D, points3D, camera, options=None):
+    """reference: pycolmap.estimate_absolute_pose (P3P RANSAC, no refine)."""
+    from colmap_tpu.estimators.pose import estimate_absolute_pose as _est
+
+    pose, inliers, _focal = _est(camera, points2D, points3D)
+    if pose is None:
+        return None
+    return {"cam_from_world": pose, "num_inliers": int(inliers.sum()),
+            "inlier_mask": inliers}
+
+
+def refine_absolute_pose(cam_from_world, points2D, points3D, camera,
+                         inlier_mask=None):
+    """reference: pycolmap.refine_absolute_pose (LM on inliers)."""
+    from colmap_tpu.estimators.pose import refine_absolute_pose as _ref
+
+    if inlier_mask is None:
+        inlier_mask = np.ones(len(points2D), dtype=bool)
+    pose, camera, ok = _ref(camera, cam_from_world, points2D, points3D,
+                            inlier_mask)
+    return {"cam_from_world": pose, "success": bool(ok)}
+
+
+def estimate_generalized_absolute_pose(points2D, points3D, camera_idxs,
+                                       cams_from_rig, cameras, options=None):
+    """reference: pycolmap.estimate_generalized_absolute_pose (gDLT)."""
+    from colmap_tpu.estimators.generalized_pose import (
+        estimate_generalized_absolute_pose as _est,
+    )
+
+    return _est(points2D, points3D, camera_idxs, cams_from_rig, cameras)
+
+
+def estimate_generalized_relative_pose(points2D1, points2D2, camera_idxs1,
+                                       camera_idxs2, cams_from_rig, cameras,
+                                       options=None):
+    """reference: pycolmap.estimate_generalized_relative_pose (17pt GEC)."""
+    from colmap_tpu.estimators.generalized_pose import (
+        estimate_generalized_relative_pose as _est,
+    )
+
+    return _est(points2D1, points2D2, camera_idxs1, camera_idxs2,
+                cams_from_rig, cameras)
+
+
+def estimate_triangulation(points2D, cams_from_world, cameras, options=None):
+    """reference: pycolmap.estimate_triangulation (RANSAC over view pairs).
+
+    points2D (V, 2) pixel observations, one per view; returns the robust
+    3D point and the per-view inlier mask.
+    """
+    import jax.numpy as jnp
+
+    from colmap_tpu.estimators.triangulation import (
+        TriangulationOptions,
+        estimate_triangulation as _est,
+    )
+    from colmap_tpu.sensor import models as cm
+
+    V = len(points2D)
+    R = np.stack([p.rotmat() if hasattr(p, "rotmat")
+                  else np.asarray(p)[:3, :3] for p in cams_from_world])
+    t = np.stack([np.asarray(p.t) if hasattr(p, "t")
+                  else np.asarray(p)[:3, 3] for p in cams_from_world])
+    xn = np.stack([
+        np.asarray(cm.cam_from_img(cameras[v].model_id,
+                                   jnp.asarray(cameras[v].params),
+                                   jnp.asarray(points2D[v])[None])[0][0])
+        for v in range(V)
+    ])
+    res = _est(jnp.asarray(R, dtype=floatx()), jnp.asarray(t, dtype=floatx()),
+               jnp.asarray(xn, dtype=floatx()),
+               jnp.ones(V, dtype=bool), options or TriangulationOptions())
+    if not bool(res["success"]):
+        return None
+    return {"xyz": np.asarray(res["xyz"]),
+            "inlier_mask": np.asarray(res["inlier_mask"])}
+
+
+def estimate_two_view_geometry(camera1, points1, camera2, points2,
+                               matches=None, options=None):
+    """reference: pycolmap.estimate_two_view_geometry (full decision tree)."""
+    from colmap_tpu.estimators.two_view_geometry import (
+        TwoViewGeometryOptions,
+        estimate_two_view_geometry as _est,
+    )
+
+    if matches is None:
+        n = min(len(points1), len(points2))
+        matches = np.stack([np.arange(n), np.arange(n)], axis=1)
+    return _est(camera1, np.asarray(points1), camera2, np.asarray(points2),
+                np.asarray(matches), options or TwoViewGeometryOptions())
+
+
+def estimate_two_view_geometry_pose(camera1, points1, camera2, points2, g):
+    """reference: pycolmap.estimate_two_view_geometry_pose — recover the
+    relative pose for an already-classified TwoViewGeometry."""
+    from colmap_tpu.estimators.two_view_geometry import _recover_pose
+
+    return _recover_pose(g, camera1, np.asarray(points1), camera2,
+                         np.asarray(points2))

@@ -119,6 +119,10 @@ class Camera:
 
     @staticmethod
     def create(camera_id, model_id, focal_length, width, height) -> "Camera":
+        # pycolmap parity: accept the model NAME ("SIMPLE_PINHOLE") as well
+        # as the numeric/enum id (src/pycolmap binds both spellings).
+        if isinstance(model_id, str):
+            model_id = camera_models.MODEL_NAME_TO_ID[model_id]
         return Camera(
             camera_id=camera_id,
             model_id=int(model_id),

@@ -13,6 +13,27 @@ from __future__ import annotations
 import os
 
 
+def _host_key() -> str:
+    """Short fingerprint of the host ISA + jax version."""
+    import hashlib
+
+    import jax
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    import platform
+
+    raw = f"{jax.__version__}|{platform.machine()}|{flags}"
+    return hashlib.sha1(raw.encode()).hexdigest()[:12]
+
+
 def enable(cache_dir: str | None = None) -> bool:
     """Enable JAX's persistent compilation cache (idempotent, best-effort).
 
@@ -27,6 +48,11 @@ def enable(cache_dir: str | None = None) -> bool:
                 os.path.expanduser("~"), ".cache", "colmap_tpu", "jax"
             ),
         )
+    # Key the cache by a host fingerprint: XLA:CPU AOT executables encode
+    # the compile machine's ISA features, and loading them on a host with
+    # a different feature set can SIGILL/segfault (observed when a cache
+    # populated on an AVX-512 machine was reused on a non-AVX-512 one).
+    cache_dir = os.path.join(cache_dir, _host_key())
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
