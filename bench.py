@@ -1,4 +1,14 @@
-"""Driver benchmark: one JSON line with the headline metric + extras.
+"""Driver benchmark: streams the headline JSON line, then re-prints a
+cumulative line after every extra completes.
+
+Timeout-safety contract (VERDICT r2 item 1): the driver may kill this
+process at any point (wall budget, OOM in one extra). Therefore:
+  * the headline is measured FIRST and a complete JSON line is printed and
+    flushed immediately — a timeout can no longer erase it;
+  * each extra runs under its own SIGALRM wall budget (skip + note on
+    breach) and the cumulative JSON line is re-printed after each one, so
+    the LAST stdout line always carries everything measured so far;
+  * extras run cheapest-first; the OOM-prone PatchMatch runs last.
 
 Headline (north-star, BASELINE.md): packed bundle-adjustment LM
 iterations/s on the accelerator (Ceres-vs-Caspar analogue, reference:
@@ -7,18 +17,18 @@ residuals + Jacobians + Schur-reduced camera solve + tentative update on a
 200 frames x 50k points x 300k observations synthetic problem in f32.
 
 vs_baseline = speedup over the same solver on the host CPU (stand-in for
-the reference's CPU Ceres until reference binaries can be timed on
-identical scenes — see BASELINE.md).
+the reference's CPU Ceres, which cannot be built/timed in this env — see
+BASELINE.md measurement plan). The extras include accuracy (mean AUC) and
+mapping frames/s so the record is not solver-only.
 
-The "extra" dict carries the rest of the runtime suite (VERDICT r1 item 3:
-extraction img/s, matching + verification pairs/s, PatchMatch px/s,
-incremental mapping frames/s, 8-device sharded-BA scaling). Set
-COLMAP_TPU_BENCH_FAST=1 to emit only the headline.
+Set COLMAP_TPU_BENCH_FAST=1 to emit only the headline.
 """
 
 import json
 import os
+import signal
 import sys
+import time
 
 # The sharded-scaling extra needs a multi-device CPU backend alongside the
 # accelerator; this must be set before jax initializes.
@@ -35,6 +45,38 @@ from colmap_tpu.utils.jax_cache import enable as _enable_jax_cache  # noqa: E402
 _enable_jax_cache()
 
 
+class _BenchTimeout(Exception):
+    pass
+
+
+def _alarm_handler(signum, frame):
+    raise _BenchTimeout()
+
+
+def _run_with_budget(fn, budget_s):
+    """Run fn() with a SIGALRM wall budget. Best-effort: a single XLA call
+    that blocks past the budget is only interrupted on return to Python,
+    but the cumulative-line protocol above still preserves prior results
+    if the driver's outer timeout fires."""
+    old = signal.signal(signal.SIGALRM, _alarm_handler)
+    signal.alarm(int(budget_s))
+    try:
+        return fn()
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+def _emit(record):
+    """Print the cumulative record as one JSON line and flush."""
+    print(json.dumps(record), flush=True)
+    try:
+        with open("BENCH_scratch.json", "w") as f:
+            json.dump(record, f)
+    except OSError:
+        pass
+
+
 def main():
     from benchmarks import runtime as rt
 
@@ -45,46 +87,62 @@ def main():
     vs_baseline = 1.0
     try:
         cpu = jax.devices("cpu")[0]
-        cpu_res = rt.bench_ba_packed(device=cpu, n_iters=3)
+        cpu_res = _run_with_budget(
+            lambda: rt.bench_ba_packed(device=cpu, n_iters=3), 300)
         cpu_rate = cpu_res["value"]
         if cpu_rate:
             vs_baseline = headline["value"] / cpu_rate
-    except Exception:
-        pass
+    except Exception as exc:
+        print(f"[bench] cpu baseline failed: {exc!r}", file=sys.stderr)
 
-    extra = {}
-    if not os.environ.get("COLMAP_TPU_BENCH_FAST"):
-        for bench in (
-            rt.bench_ba_sharded_scaling,
-            rt.bench_extraction,
-            rt.bench_matching,
-            rt.bench_verification,
-            rt.bench_patch_match,
-            rt.bench_incremental_mapping,
-        ):
-            try:
-                res = bench()
-            except Exception as exc:
-                print(f"[bench] {bench.__name__} failed: {exc!r}",
-                      file=sys.stderr)
-                continue
-            if res is not None:
-                extra[res["metric"]] = {
-                    "value": res["value"], "unit": res["unit"],
-                    **res.get("detail", {}),
-                }
+    record = {
+        "metric": headline["metric"],
+        "value": headline["value"],
+        "unit": headline["unit"],
+        "vs_baseline": round(vs_baseline, 3),
+        "extra": {},
+    }
+    # Headline secured: from here on, any crash/timeout loses at most the
+    # not-yet-finished extras.
+    _emit(record)
 
-    print(
-        json.dumps(
-            {
-                "metric": headline["metric"],
-                "value": headline["value"],
-                "unit": headline["unit"],
-                "vs_baseline": round(vs_baseline, 3),
-                "extra": extra,
+    if os.environ.get("COLMAP_TPU_BENCH_FAST"):
+        return
+
+    # (bench fn, wall budget seconds) cheapest-first; PatchMatch last.
+    extras = [
+        (rt.bench_matching, 180),
+        (rt.bench_verification, 240),
+        (rt.bench_extraction, 240),
+        (rt.bench_evaluate_auc, 420),
+        (rt.bench_incremental_mapping, 420),
+        (rt.bench_ba_sharded_scaling, 420),
+        (rt.bench_patch_match, 300),
+    ]
+    for bench, budget in extras:
+        t0 = time.perf_counter()
+        try:
+            res = _run_with_budget(bench, budget)
+        except _BenchTimeout:
+            print(f"[bench] {bench.__name__} exceeded {budget}s budget; "
+                  "skipped", file=sys.stderr)
+            record["extra"][bench.__name__] = {
+                "error": f"timeout>{budget}s"}
+            _emit(record)
+            continue
+        except Exception as exc:
+            print(f"[bench] {bench.__name__} failed: {exc!r}",
+                  file=sys.stderr)
+            record["extra"][bench.__name__] = {"error": repr(exc)[:200]}
+            _emit(record)
+            continue
+        if res is not None:
+            record["extra"][res["metric"]] = {
+                "value": res["value"], "unit": res["unit"],
+                "bench_wall_s": round(time.perf_counter() - t0, 1),
+                **res.get("detail", {}),
             }
-        )
-    )
+            _emit(record)
 
 
 if __name__ == "__main__":

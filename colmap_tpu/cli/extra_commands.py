@@ -126,6 +126,12 @@ def _read_all_descriptors(db, max_per_image=None):
     return out
 
 
+def _npz_path(path):
+    """np.savez appends .npz when missing; normalize so builder and loader
+    agree on the on-disk name."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def _cmd_vocab_tree_builder(args):
     from colmap_tpu.retrieval.visual_index import (
         build_vocabulary,
@@ -133,6 +139,7 @@ def _cmd_vocab_tree_builder(args):
     )
     from colmap_tpu.scene.database import Database
 
+    args.vocab_tree_path = _npz_path(args.vocab_tree_path)
     db = Database(args.database_path, must_exist=True)
     desc = _read_all_descriptors(db, max_per_image=args.max_features_per_image)
     all_desc = np.concatenate([d for d in desc.values() if len(d)])
@@ -165,6 +172,10 @@ def _cmd_vocab_tree_builder(args):
 def _load_or_train_index(vocab_tree_path, desc_by_image, num_words=256):
     from colmap_tpu.retrieval.visual_index import VisualIndex
 
+    if vocab_tree_path and not os.path.exists(vocab_tree_path):
+        # The builder writes <path>.npz when the suffix is missing.
+        if os.path.exists(_npz_path(vocab_tree_path)):
+            vocab_tree_path = _npz_path(vocab_tree_path)
     if vocab_tree_path and os.path.exists(vocab_tree_path):
         from colmap_tpu.retrieval.visual_index import TreeVocabulary
 
@@ -176,6 +187,14 @@ def _load_or_train_index(vocab_tree_path, desc_by_image, num_words=256):
             vocab = data["vocabulary"]
         index = VisualIndex(vocab)
     else:
+        if vocab_tree_path:
+            from colmap_tpu.utils import logging
+
+            logging.warning(
+                "vocab tree file %s not found; training a small flat "
+                "vocabulary on the fly (retrieval quality will differ)",
+                vocab_tree_path,
+            )
         all_desc = np.concatenate([d for d in desc_by_image.values() if len(d)])
         rng = np.random.default_rng(0)
         sub = all_desc[
@@ -263,7 +282,12 @@ def _cmd_hierarchical_mapper(args):
         verbose=not args.quiet,
     )
     models = HierarchicalPipeline(options, db).run()
-    _write_models(models, args.output_path)
+    # Every process holds the identical merged set after the in-pipeline
+    # exchange; only rank 0 writes to avoid clobbering shared output paths.
+    from colmap_tpu.parallel import multihost
+
+    if multihost.process_index() == 0:
+        _write_models(models, args.output_path)
     db.close()
 
 

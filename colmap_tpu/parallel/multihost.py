@@ -38,18 +38,25 @@ def initialize(
     """Join (or form) a multi-host JAX cluster.
 
     With no arguments in a single-process environment this is a no-op, so
-    every entry point can call it unconditionally. In a launcher-managed
-    environment (GKE/SLURM/Cloud TPU) ``jax.distributed.initialize()``
-    auto-detects everything from the environment.
+    every entry point can call it unconditionally. Joining a cluster is an
+    explicit opt-in: set ``COLMAP_TPU_MULTIHOST=1`` (or pass coordinator
+    arguments). Generic launcher markers alone (SLURM_JOB_ID etc.) do NOT
+    trigger a join — independent commands launched as tasks of one srun
+    step must not silently form a shared coordinator (they would block
+    until all tasks connect and then stride-slice unrelated work).
     """
     global _initialized
     if _initialized:
         return
     if coordinator_address is None and num_processes is None:
-        # Single-process unless a launcher environment is detected; calling
-        # jax.distributed.initialize() outside one raises, so probe first.
         import os
 
+        if os.environ.get("COLMAP_TPU_MULTIHOST", "") not in ("1", "true"):
+            _initialized = True
+            return
+        # Opted in: jax.distributed.initialize() auto-detects the cluster
+        # from the launcher environment; probe for one first since calling
+        # it outside a launcher raises.
         markers = ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
                    "SLURM_JOB_ID", "TPU_WORKER_HOSTNAMES")
         if not any(m in os.environ for m in markers):
@@ -137,6 +144,30 @@ def local_work_slice(items: Sequence, process_id: Optional[int] = None,
     pid = jax.process_index() if process_id is None else process_id
     np_ = jax.process_count() if n_processes is None else n_processes
     return list(items)[pid::np_]
+
+
+def all_gather_bytes(payload: bytes) -> List[bytes]:
+    """Exchange one opaque byte blob per process; returns the blobs of all
+    processes ordered by process index.
+
+    Used by the hierarchical mapper to ship serialized leaf reconstructions
+    to every host before the Sim3 merge (the reference's equivalent exchange
+    is filesystem-mediated between pipeline stages; on a pod the blobs ride
+    DCN via ``process_allgather`` on padded uint8 arrays).
+    """
+    if jax.process_count() == 1:
+        return [payload]
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    n = np.asarray([len(payload)], dtype=np.int64)
+    lens = np.asarray(multihost_utils.process_allgather(n)).reshape(-1)
+    cap = max(int(lens.max()), 1)
+    buf = np.zeros(cap, dtype=np.uint8)
+    buf[: len(payload)] = np.frombuffer(payload, dtype=np.uint8)
+    gathered = np.asarray(multihost_utils.process_allgather(buf))
+    gathered = gathered.reshape(len(lens), cap)
+    return [gathered[i, : int(lens[i])].tobytes() for i in range(len(lens))]
 
 
 def all_gather_host_objects(obj, axis_name: str = "mh"):

@@ -602,9 +602,23 @@ def estimate_homography_matrix(points1, points2, options=None):
 
 def estimate_absolute_pose(points2D, points3D, camera, options=None):
     """reference: pycolmap.estimate_absolute_pose (P3P RANSAC, no refine)."""
-    from colmap_tpu.estimators.pose import estimate_absolute_pose as _est
+    from colmap_tpu.estimators.pose import (
+        AbsolutePoseOptions,
+        estimate_absolute_pose as _est,
+    )
 
-    pose, inliers, _focal = _est(camera, points2D, points3D)
+    est_options = None
+    if options is not None:
+        # Translate pycolmap RANSACOptions into the estimator's options
+        # (mirrors the F/H wrappers, which forward thresholds directly).
+        est_options = AbsolutePoseOptions(
+            max_error_px=options.max_error,
+            min_inlier_ratio=options.min_inlier_ratio,
+            confidence=options.confidence,
+            min_num_trials=options.min_num_trials,
+            max_num_trials=options.max_num_trials,
+        )
+    pose, inliers, _focal = _est(camera, points2D, points3D, est_options)
     if pose is None:
         return None
     return {"cam_from_world": pose, "num_inliers": int(inliers.sum()),

@@ -313,8 +313,10 @@ for _make, _w, _models in _BODY_GROUPS:
     for _m in _models:
         SENSOR_WIDTHS.setdefault((_make, _m), _w)
 # Secondary brand names appearing in EXIF Make strings.
-for _alias, _canon in [("omdigitalsolutions", "olympus"), ("om system",
-                       "olympus"), ("lumix", "panasonic"),
+for _alias, _canon in [("omdigitalsolutions", "olympus"),
+                       ("lumix", "panasonic"),
+                       # _normalize strips spaces, so "OM SYSTEM" EXIF
+                       # strings resolve to this key.
                        ("omsystem", "olympus")]:
     for (_mk, _md), _w in list(SENSOR_WIDTHS.items()):
         if _mk == _canon:

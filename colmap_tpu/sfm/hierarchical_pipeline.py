@@ -92,6 +92,60 @@ def merge_reconstructions(
     return True
 
 
+def _serialize_reconstruction(recon: Reconstruction) -> bytes:
+    """Pack a reconstruction into one byte blob (zipped bin-model files)."""
+    import io
+    import os
+    import tempfile
+    import zipfile
+
+    from colmap_tpu.scene.reconstruction_io import write_model
+
+    with tempfile.TemporaryDirectory() as d:
+        write_model(recon, d, fmt="bin")
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            for name in sorted(os.listdir(d)):
+                z.write(os.path.join(d, name), name)
+        return buf.getvalue()
+
+
+def _deserialize_reconstruction(data: bytes) -> Reconstruction:
+    import io
+    import tempfile
+    import zipfile
+
+    from colmap_tpu.scene.reconstruction_io import read_model
+
+    with tempfile.TemporaryDirectory() as d:
+        with zipfile.ZipFile(io.BytesIO(data)) as z:
+            z.extractall(d)
+        return read_model(d)
+
+
+def exchange_sub_reconstructions(subs: List[Reconstruction]) -> List[Reconstruction]:
+    """Gather every process's leaf reconstructions onto all processes.
+
+    Cluster-per-host dispatch (parallel/multihost.local_work_slice) leaves
+    each process holding only its strided slice of the leaves; the greedy
+    Sim3 merge needs all of them. Serializes via the bin model format and
+    exchanges the blobs over DCN so every process merges the identical set
+    deterministically. Single-process: identity.
+    """
+    import pickle
+
+    from colmap_tpu.parallel import multihost
+
+    if multihost.process_count() == 1:
+        return subs
+    payload = pickle.dumps([_serialize_reconstruction(r) for r in subs])
+    blobs = multihost.all_gather_bytes(payload)
+    out: List[Reconstruction] = []
+    for blob in blobs:
+        out.extend(_deserialize_reconstruction(b) for b in pickle.loads(blob))
+    return out
+
+
 class HierarchicalPipeline:
     def __init__(self, options: HierarchicalPipelineOptions, database: Database):
         self.options = options
@@ -144,6 +198,11 @@ class HierarchicalPipeline:
                 if self.options.verbose:
                     logging.info("  leaf %d: %d frames", ci, recon.num_reg_frames())
 
+        # Multi-host: every process reconstructed a strided slice of the
+        # leaves; gather all sub-reconstructions so the merge below runs on
+        # the full set (identically on every process — callers write output
+        # from process 0 only).
+        subs = exchange_sub_reconstructions(subs)
         if not subs:
             return []
         # Greedy merge into the largest.
