@@ -203,10 +203,24 @@ def rig_problem_from_reconstruction(
 
     camera_ids = sorted({c for (_, _, _, c) in image_rows})
     cam_row = {cid: i for i, cid in enumerate(camera_ids)}
-    model_ids = {recon.cameras[c].model_id for c in camera_ids}
-    if len(model_ids) != 1:
-        raise NotImplementedError("mixed camera models per problem not supported")
-    model_id = model_ids.pop()
+    model_ids = sorted({int(recon.cameras[c].model_id) for c in camera_ids})
+    if len(model_ids) == 1:
+        model_id = model_ids[0]
+        cam_params = np.stack([recon.cameras[c].params for c in camera_ids])
+    else:
+        # Heterogeneous rig problem (reference handles any model mix,
+        # bundle_adjustment_ceres.h:40-116): same padded-row + trailing
+        # model-position-column scheme as problem_from_reconstruction.
+        from colmap_tpu.sensor import models as camera_models
+
+        model_id = tuple(model_ids)
+        model_pos = {m: k for k, m in enumerate(model_ids)}
+        p_max = max(camera_models.model_num_params(m) for m in model_ids)
+        cam_params = np.zeros((len(camera_ids), p_max + 1))
+        for row, cid in enumerate(camera_ids):
+            cam = recon.cameras[cid]
+            cam_params[row, : len(cam.params)] = cam.params
+            cam_params[row, -1] = model_pos[int(cam.model_id)]
 
     if point_ids is None:
         pid_set = set()
@@ -224,7 +238,6 @@ def rig_problem_from_reconstruction(
         pose = recon.rigs[rig_id].sensor_from_rig(sensor)
         sq.append(pose.quat)
         st.append(pose.t)
-    cam_params = np.stack([recon.cameras[c].params for c in camera_ids])
     points = (
         np.stack([recon.points3D[p].xyz for p in point_ids])
         if point_ids else np.zeros((0, 3))
@@ -262,7 +275,7 @@ def rig_problem_from_reconstruction(
         "sensor_keys": sensor_keys,
         "camera_ids": camera_ids,
         "point_ids": list(point_ids),
-        "model_id": int(model_id),
+        "model_id": model_id if isinstance(model_id, tuple) else int(model_id),
         "ref_sensor_rows": ref_rows,
     }
     return problem, index

@@ -71,17 +71,28 @@ def default_masks(problem: RigBAProblem, model_id: int, options: BAOptions,
     sensor_mask = jnp.ones(G, dtype=dtype)
     for s in ref_sensors:
         sensor_mask = sensor_mask.at[s].set(0.0)
-    cam_mask = jnp.zeros((C, P), dtype=dtype)
-    mid = int(model_id)
-    if options.refine_focal_length:
-        for i in camera_models.focal_length_idxs(mid):
-            cam_mask = cam_mask.at[:, i].set(1.0)
-    if options.refine_principal_point:
-        for i in camera_models.principal_point_idxs(mid):
-            cam_mask = cam_mask.at[:, i].set(1.0)
-    if options.refine_extra_params:
-        for i in camera_models.extra_params_idxs(mid):
-            cam_mask = cam_mask.at[:, i].set(1.0)
+    import numpy as np
+
+    cam_mask_np = np.zeros((C, P))
+    if isinstance(model_id, tuple):
+        # Heterogeneous problem (reference: bundle_adjustment_ceres.h:40-116
+        # handles any model mix): per-camera masks decoded from the trailing
+        # model-position column; the column itself stays constant.
+        model_pos = np.rint(np.asarray(problem.cam_params[:, -1])).astype(int)
+        per_row_models = [int(model_id[p]) for p in model_pos]
+    else:
+        per_row_models = [int(model_id)] * C
+    for row, mid in enumerate(per_row_models):
+        if options.refine_focal_length:
+            for i in camera_models.focal_length_idxs(mid):
+                cam_mask_np[row, i] = 1.0
+        if options.refine_principal_point:
+            for i in camera_models.principal_point_idxs(mid):
+                cam_mask_np[row, i] = 1.0
+        if options.refine_extra_params:
+            for i in camera_models.extra_params_idxs(mid):
+                cam_mask_np[row, i] = 1.0
+    cam_mask = jnp.asarray(cam_mask_np, dtype=dtype)
     point_mask = jnp.ones(N, dtype=dtype)
     return RigBAMasks(frame_mask, frame_trans_mask, sensor_mask, cam_mask, point_mask)
 
@@ -94,7 +105,13 @@ def fix_gauge_two_frames(masks: RigBAMasks, frame1: int, frame2: int) -> RigBAMa
 
 
 def make_residual_fn(model_id: int):
-    """f(dframe(6), dsensor(6), dcam(P), dX(3), state...) -> (2,)."""
+    """f(dframe(6), dsensor(6), dcam(P), dX(3), state...) -> (2,).
+
+    model_id may be a static int or a static tuple of distinct model ids
+    (heterogeneous rig problem); in the tuple case cam_params rows are
+    (Pmax + 1,) with a trailing model-position column consumed by a
+    lax.switch dispatch (same scheme as the non-rig packed BA)."""
+    mixed = isinstance(model_id, tuple)
 
     def f(dframe, dsensor, dcam, dX, fq, ft, sq, st, cam_params, X, xy):
         dqf = _quat_exp(dframe[:3])
@@ -105,9 +122,16 @@ def make_residual_fn(model_id: int):
         ts = st + dsensor[3:]
         X_rig = rot.quat_rotate(qf, X + dX) + tf
         Xc = rot.quat_rotate(qs, X_rig) + ts
-        proj, _ = camera_models.img_from_cam(
-            model_id, cam_params + dcam, Xc, check_cheirality=False
-        )
+        if mixed:
+            mi = jnp.round(cam_params[..., -1]).astype(jnp.int32)
+            proj, _ = camera_models.img_from_cam_switch(
+                model_id, mi, (cam_params + dcam)[..., :-1], Xc,
+                check_cheirality=False,
+            )
+        else:
+            proj, _ = camera_models.img_from_cam(
+                model_id, cam_params + dcam, Xc, check_cheirality=False
+            )
         return proj - xy
 
     return f

@@ -336,7 +336,12 @@ class IncrementalMapper:
         with the same candidate filtering.
         """
         graph = self.cache.correspondence_graph
-        scores = []
+        # Two-bucket policy (incremental_mapper_impl.cc:139-151): images
+        # that were filtered out or already burned a registration trial go
+        # into a second bucket behind every untried image. This is what
+        # lets a shared camera collect multi-view constraints from fresh
+        # images before a degenerate single-view estimate is retried.
+        scores, other_scores = [], []
         for image_id, image in self.recon.images.items():
             if self.recon.is_image_registered(image_id):
                 continue
@@ -346,9 +351,15 @@ class IncrementalMapper:
                 continue
             num_visible = self._count_visible_points(image_id)
             if num_visible > 0:
-                scores.append((num_visible, image_id))
+                tried = self.num_reg_trials.get(image_id, 0) > 0
+                filtered = image.frame_id in self.filtered_frames
+                if tried or filtered:
+                    other_scores.append((num_visible, image_id))
+                else:
+                    scores.append((num_visible, image_id))
         scores.sort(key=lambda s: (-s[0], s[1]))
-        return [iid for (_, iid) in scores]
+        other_scores.sort(key=lambda s: (-s[0], s[1]))
+        return [iid for (_, iid) in scores + other_scores]
 
     def _count_visible_points(self, image_id) -> int:
         """Visibility-pyramid score of a candidate image.
@@ -396,6 +407,16 @@ class IncrementalMapper:
             self.num_reg_images_per_camera[cid] = (
                 self.num_reg_images_per_camera.get(cid, 0) + 1
             )
+
+    def _deregister_frame_event(self, frame_id: int):
+        """Mirror of _register_frame_event for frame removal (reference:
+        DeRegisterFrameEvent, incremental_mapper.cc) — keeps
+        num_reg_images_per_camera consistent so the reset-on-retry policy in
+        register_next_image can fire."""
+        for iid in self.recon.frames[frame_id].image_ids():
+            cid = self.recon.images[iid].camera_id
+            n = self.num_reg_images_per_camera.get(cid, 0)
+            self.num_reg_images_per_camera[cid] = max(n - 1, 0)
 
     def _collect_2d3d_for_image(self, image_id: int) -> Tuple[List[int], List[int]]:
         """2D-3D correspondences through the correspondence graph
@@ -459,6 +480,23 @@ class IncrementalMapper:
 
         self.num_reg_trials[image_id] = self.num_reg_trials.get(image_id, 0) + 1
         camera = recon.cameras[image.camera_id]
+
+        # Camera-parameter recovery policy (incremental_mapper.cc:372-429):
+        # if this camera was not refined by any currently registered image,
+        # its params may carry damage from an earlier filtered registration
+        # — reset them to the database values. Likewise reset any bogus
+        # camera of this frame so re-estimation starts clean.
+        if self.num_reg_images_per_camera.get(camera.camera_id, 0) == 0:
+            camera.params = self.cache.cameras[camera.camera_id].params.copy()
+        for iid in frame.image_ids():
+            cam_i = recon.cameras[recon.images[iid].camera_id]
+            if camera_models.has_bogus_params(
+                cam_i.model_id, cam_i.params, cam_i.width, cam_i.height,
+                options.min_focal_length_ratio,
+                options.max_focal_length_ratio, options.max_extra_param,
+            ):
+                cam_i.params = self.cache.cameras[cam_i.camera_id].params.copy()
+
         p2d_idxs, p3d_ids = self._collect_2d3d_for_image(image_id)
 
         if len(p2d_idxs) < options.abs_pose_min_num_inliers:
@@ -856,6 +894,7 @@ class IncrementalMapper:
                     bogus = True
             if n_p3d < 3 or bogus:
                 recon.deregister_frame(frame_id)
+                self._deregister_frame_event(frame_id)
                 filtered.append(frame_id)
                 self.filtered_frames.add(frame_id)
         return filtered
