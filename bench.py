@@ -81,6 +81,23 @@ def main():
     from benchmarks import runtime as rt
 
     accel = jax.devices()[0]
+
+    # Pay the tunnel's one-time first-fetch stall HERE, visibly, before any
+    # timed region: on the axon TPU relay the first host fetch of a
+    # jit-produced array in a process blocks the whole backend for minutes
+    # (measured 80-500 s; independent of dtype/shape/thread). Every
+    # subsequent fetch is sub-ms.
+    t0 = time.perf_counter()
+    print("[bench] warming device->host transfer path...", file=sys.stderr,
+          flush=True)
+    import numpy as _np
+    import jax.numpy as _jnp
+
+    _np.asarray(jax.jit(lambda x: x + 1.0)(
+        jax.device_put(_jnp.zeros(8), accel)))
+    print(f"[bench] transfer path warm in {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr, flush=True)
+
     headline = rt.bench_ba_packed(device=accel)
 
     # CPU reference rate for vs_baseline (3 iterations is enough to rate).

@@ -8,7 +8,10 @@ builds synthetic problems of N frames x M points with noise).
 
 from __future__ import annotations
 
+import contextlib
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from colmap_tpu.estimators.bundle_adjustment import BAProblem
@@ -28,8 +31,25 @@ def synthetic_ba_problem(
 ):
     """Cameras on a sphere of radius 5 looking at unit-sphere points.
 
-    Returns (problem, gt_problem, model_id).
+    Returns (problem, gt_problem, model_id). Generation runs on the host
+    CPU backend when available (setup must not compile one-off programs on
+    a tunneled accelerator); benchmark callers device_put the result.
     """
+    try:
+        ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+    except Exception:
+        ctx = contextlib.nullcontext()
+    with ctx:
+        return _synthetic_ba_problem_impl(
+            num_frames, num_points, obs_per_point, model_id, pixel_noise,
+            pose_noise, point_noise, seed, dtype,
+        )
+
+
+def _synthetic_ba_problem_impl(
+    num_frames, num_points, obs_per_point, model_id, pixel_noise,
+    pose_noise, point_noise, seed, dtype,
+):
     rng = np.random.default_rng(seed)
 
     # Ground-truth scene.
@@ -89,9 +109,13 @@ def synthetic_ba_problem(
     xy, valid = camera_models.img_from_cam(
         model_id, gt.cam_params[0], Xc, check_cheirality=True
     )
-    w = jnp.asarray(np.asarray(valid), dtype=dtype)
+    # Stay on device: a host round-trip here costs nothing on CPU but on a
+    # tunneled accelerator the first jit-output fetch of a process can
+    # stall for minutes (observed on the axon TPU relay) — generator setup
+    # must never be the thing that pays it.
+    w = valid.astype(dtype)
     xy_noisy = xy + jnp.asarray(
-        rng.normal(0, pixel_noise, xy.shape), dtype=dtype
+        rng.normal(0, pixel_noise, (len(obs_frame), 2)), dtype=dtype
     )
     gt = gt._replace(obs_xy=xy, obs_w=w)
 
