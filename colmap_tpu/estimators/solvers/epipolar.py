@@ -14,6 +14,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from colmap_tpu.optim.small_linalg import eigh_small, nullspace_small, svd3x3
 from colmap_tpu.optim.polynomial import solve_cubic
 
 
@@ -54,10 +55,16 @@ def _epipolar_constraint_matrix(x1, x2):
 def _smallest_right_singular(A):
     """Right singular vector of the smallest singular value of A (..., m, n).
 
-    Uses the symmetric eigendecomposition of AᵀA (TPU-friendly; jnp.linalg
-    eigh lowers well, and AᵀA is small: 9x9)."""
+    Minimal samples (m < n): exact null space by direct Householder QR —
+    the cheapest formulation inside the vmapped RANSAC trial loop.
+    Overdetermined refits: symmetric eigendecomposition of AᵀA via the
+    fixed-sweep Jacobi in optim/small_linalg. (jnp.linalg.eigh lowers to a
+    100-iteration @Eigh custom call costing ~110 ms per batched invocation
+    on the TPU and dominated the whole verification pipeline.)"""
+    if A.shape[-2] < A.shape[-1]:
+        return nullspace_small(A, 1)[..., :, 0]
     AtA = jnp.einsum("...ij,...ik->...jk", A, A)
-    _, vecs = jnp.linalg.eigh(AtA)
+    _, vecs = eigh_small(AtA)
     return vecs[..., :, 0]
 
 
@@ -74,7 +81,7 @@ def fundamental_eight_point(x1, x2, weights=None):
     f = _smallest_right_singular(A)
     F = f.reshape(f.shape[:-1] + (3, 3))
     # Rank-2 enforcement.
-    U, S, Vt = jnp.linalg.svd(F)
+    U, S, Vt = svd3x3(F)
     S = S.at[..., 2].set(0.0)
     F = U @ (S[..., None] * Vt)
     F = jnp.swapaxes(T2, -1, -2) @ F @ T1
@@ -95,7 +102,7 @@ def essential_eight_point(x1, x2, weights=None):
     f = _smallest_right_singular(A)
     E = f.reshape(f.shape[:-1] + (3, 3))
     E = jnp.swapaxes(T2, -1, -2) @ E @ T1
-    U, S, Vt = jnp.linalg.svd(E)
+    U, S, Vt = svd3x3(E)
     ones = jnp.ones_like(S[..., :2])
     S_proj = jnp.concatenate([ones, jnp.zeros_like(S[..., :1])], axis=-1)
     E = U @ (S_proj[..., None] * Vt)
@@ -110,7 +117,7 @@ def essential_eight_point_rays(r1, r2, weights=None):
         A = A * weights[..., None]
     f = _smallest_right_singular(A)
     E = f.reshape(f.shape[:-1] + (3, 3))
-    U, S, Vt = jnp.linalg.svd(E)
+    U, S, Vt = svd3x3(E)
     ones = jnp.ones_like(S[..., :2])
     S_proj = jnp.concatenate([ones, jnp.zeros_like(S[..., :1])], axis=-1)
     return U @ (S_proj[..., None] * Vt)
@@ -250,10 +257,10 @@ def essential_five_point_rays(r1, r2):
 def _essential_five_point_from_constraints(A):
     """Shared Nistér solve from a (5, 9) constraint matrix."""
     dtype = A.dtype
-    AtA = A.T @ A
-    _, vecs = jnp.linalg.eigh(AtA)
-    # 4-dim nullspace basis; E = x E0 + y E1 + z E2 + E3.
-    EB = jnp.stack([vecs[:, k].reshape(3, 3) for k in range(4)], axis=-1)
+    # 4-dim nullspace basis by direct Householder QR (hot path: one call
+    # per RANSAC sample); E = x E0 + y E1 + z E2 + E3.
+    ns = nullspace_small(A, 4)  # (9, 4)
+    EB = jnp.stack([ns[:, k].reshape(3, 3) for k in range(4)], axis=-1)
     # EB[i, j] is the deg1 poly (x, y, z, 1) for entry (i, j): shape (3,3,4).
 
     # det(E): expansion along the first row (deg3).
@@ -328,15 +335,24 @@ def _essential_five_point_from_constraints(A):
     d_poly = n_poly[:-1] * jnp.arange(10, 0, -1, dtype=dtype)
     dv = _polyval_homog(d_poly, sin_t, cos_t)
 
+    # Compaction of marked cells via top_k instead of jnp.nonzero: nonzero
+    # lowers to full-grid index materialization + sort copies that cost
+    # tens of ms per RANSAC step on the TPU; top_k of (G - index) yields
+    # the first-k True indices directly.
+    span = jnp.arange(G, dtype=jnp.int32)
+
+    def first_true(mask_cells, k):
+        val = jnp.where(mask_cells, G - span, 0)
+        topv = jax.lax.top_k(val, k)[0]
+        return jnp.where(topv > 0, G - topv, 0), topv > 0
+
     sign_change = v[:-1] * v[1:] < 0
-    idx = jnp.nonzero(sign_change, size=10, fill_value=0)[0]
-    direct_valid = sign_change[idx]
+    idx, direct_valid = first_true(sign_change, 10)
     d_lo, d_hi = theta[idx], theta[idx + 1]
 
     # Extremum cells: derivative flips but the value does not.
     ext_cell = (dv[:-1] * dv[1:] < 0) & ~sign_change
-    eidx = jnp.nonzero(ext_cell, size=9, fill_value=0)[0]
-    e_valid = ext_cell[eidx]
+    eidx, e_valid = first_true(ext_cell, 9)
     e_lo, e_hi = theta[eidx], theta[eidx + 1]
     e_dlo = dv[eidx]
 
@@ -347,7 +363,10 @@ def _essential_five_point_from_constraints(A):
         go_right = jnp.sign(vm) == jnp.sign(e_dlo)
         return (jnp.where(go_right, mid, lo), jnp.where(go_right, hi, mid)), None
 
-    (el, eh), _ = jax.lax.scan(bis_d, (e_lo, e_hi), None, length=50)
+    # Bisection depth by dtype: cells are ~3e-3 rad wide; 24 halvings reach
+    # ~2e-10 — below f32 resolution (f64 CPU paths keep the deep refine).
+    n_bis_d = 50 if dtype == jnp.float64 else 24
+    (el, eh), _ = jax.lax.scan(bis_d, (e_lo, e_hi), None, length=n_bis_d)
     e_mid = 0.5 * (el + eh)
     v_mid = _polyval_homog(n_poly, jnp.sin(e_mid), jnp.cos(e_mid))
     split = e_valid & (jnp.sign(v_mid) != jnp.sign(v[eidx])) & (v_mid != 0)
@@ -365,10 +384,15 @@ def _essential_five_point_from_constraints(A):
         go_right = jnp.sign(vm) == jnp.sign(vlo)
         return (jnp.where(go_right, mid, lo), jnp.where(go_right, hi, mid)), None
 
-    (lo, hi), _ = jax.lax.scan(bis, (lo, hi), None, length=60)
+    n_bis = 60 if dtype == jnp.float64 else 28
+    (lo, hi), _ = jax.lax.scan(bis, (lo, hi), None, length=n_bis)
     # A degree-10 polynomial has at most 10 real roots: compact to 10.
-    ridx = jnp.nonzero(valid_all, size=10, fill_value=0)[0]
-    valid = valid_all[ridx]
+    n_cand = valid_all.shape[0]  # 28
+    span_c = jnp.arange(n_cand, dtype=jnp.int32)
+    val_c = jnp.where(valid_all, n_cand - span_c, 0)
+    topv_c = jax.lax.top_k(val_c, 10)[0]
+    ridx = jnp.where(topv_c > 0, n_cand - topv_c, 0)
+    valid = topv_c > 0
     z = jnp.tan(0.5 * (lo + hi))[ridx]  # (10,)
 
     # Back-substitute x(z), y(z): least squares over the three B rows.
@@ -399,11 +423,22 @@ def _essential_five_point_from_constraints(A):
         + EB[None, :, :, 3]
     )  # (10, 3, 3)
     # Project onto the essential manifold (absorbs root-polish residue).
-    U, S, Vt = jnp.linalg.svd(E)
-    S_proj = jnp.concatenate(
-        [jnp.ones_like(S[..., :2]), jnp.zeros_like(S[..., :1])], axis=-1
-    )
-    E = U @ (S_proj[..., None] * Vt)
+    # Newton-Schulz instead of an SVD: Y <- 1.5 Y - 0.5 Y Yᵀ Y drives the
+    # two dominant singular values to 1 quadratically while the near-zero
+    # third stays near zero — for candidates already essentially valid
+    # this matches the U diag(1,1,0) Vᵀ projection to solver precision at
+    # ~10x less cost (the per-candidate batched 3x3 SVD was 80% of the
+    # whole 5pt program on the TPU).
+    hi = jax.lax.Precision.HIGHEST
+    fro = jnp.sqrt(jnp.sum(E * E, axis=(-2, -1), keepdims=True))
+    Y = E * (jnp.sqrt(2.0) / jnp.maximum(fro, 1e-30))
+    for _ in range(3 if dtype == jnp.float32 else 4):
+        YYtY = jnp.matmul(
+            jnp.matmul(Y, jnp.swapaxes(Y, -1, -2), precision=hi),
+            Y, precision=hi,
+        )
+        Y = 1.5 * Y - 0.5 * YYtY
+    E = Y
     ok = valid & (jnp.abs(det_g) >= 1e-30)
     return jnp.where(ok[:, None, None], E, jnp.nan)
 
@@ -418,18 +453,18 @@ def fundamental_seven_point(x1, x2):
     n1, T1 = _hartley_normalize(x1)
     n2, T2 = _hartley_normalize(x2)
     A = _epipolar_constraint_matrix(n1, n2)  # (..., 7, 9)
-    # 2D null space of A: two smallest eigenvectors of AᵀA.
-    AtA = jnp.einsum("...ij,...ik->...jk", A, A)
-    _, vecs = jnp.linalg.eigh(AtA)
-    f1 = vecs[..., :, 0].reshape(AtA.shape[:-2] + (3, 3))
-    f2 = vecs[..., :, 1].reshape(AtA.shape[:-2] + (3, 3))
+    # 2D null space of A by direct Householder QR (hot path: one call per
+    # RANSAC sample; any orthonormal basis parameterizes the same pencil).
+    ns = nullspace_small(A, 2)  # (..., 9, 2)
+    batch = A.shape[:-2]
+    f1 = ns[..., :, 0].reshape(batch + (3, 3))
+    f2 = ns[..., :, 1].reshape(batch + (3, 3))
 
     # det(a F1 + (1-a) F2) = 0: cubic in a. Evaluate by polynomial
     # interpolation of g(a) at 4 points (exact for cubic).
     def g(a):
         return jnp.linalg.det(a[..., None, None] * f1 + (1 - a)[..., None, None] * f2)
 
-    batch = AtA.shape[:-2]
     a_nodes = jnp.asarray([0.0, 1.0, 2.0, -1.0], dtype=x1.dtype)
     gv = jnp.stack([g(jnp.full(batch, an, x1.dtype)) for an in a_nodes], axis=-1)
     # Fit cubic coeffs c3 a^3 + c2 a^2 + c1 a + c0 through the 4 samples.

@@ -25,3 +25,21 @@ jax.config.update("jax_enable_x64", True)
 from colmap_tpu.utils.jax_cache import enable as _enable_jax_cache  # noqa: E402
 
 _enable_jax_cache()
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables after each test module.
+
+    A full serial suite run accumulates hundreds of live XLA:CPU
+    executables in one process; past ~120 tests the NEXT big compile
+    segfaults inside backend_compile_and_load (reproduced twice at
+    test_generalized_pose; the same test passes in a fresh process).
+    Dropping the in-memory caches between modules keeps the process lean —
+    the persistent compilation cache makes re-compiles cheap warm loads.
+    """
+    yield
+    jax.clear_caches()

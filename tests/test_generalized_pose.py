@@ -7,6 +7,8 @@ rigs, exact correspondences + outliers, pose asserted near ground truth.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from colmap_tpu.estimators.generalized_pose import (
     GeneralizedAbsolutePoseOptions,
     GeneralizedRelativePoseOptions,

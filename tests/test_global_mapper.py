@@ -8,6 +8,8 @@ database with relative poses -> ReconstructionNear ground truth).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from colmap_tpu.estimators.alignment import compare_reconstructions
 from colmap_tpu.estimators.global_positioning import solve_global_positioning
 from colmap_tpu.estimators.rotation_averaging import estimate_rotations

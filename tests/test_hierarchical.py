@@ -7,6 +7,8 @@ scene/scene_clustering_test.cc.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from colmap_tpu.scene.clustering import SceneClusteringOptions, cluster_scene
 from colmap_tpu.scene.database import Database
 from colmap_tpu.scene.synthetic import SyntheticDatasetOptions, synthesize_dataset

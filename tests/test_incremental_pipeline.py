@@ -9,6 +9,8 @@ for noise-free input; relaxed bounds with noise/outliers).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from colmap_tpu.estimators.alignment import compare_reconstructions
 from colmap_tpu.estimators.pose import estimate_absolute_pose
 from colmap_tpu.scene.database import Database

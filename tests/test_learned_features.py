@@ -8,6 +8,8 @@ weights (official checkpoints require downloads this environment lacks).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from colmap_tpu.feature.aliked import (
     AlikedOptions,
     extract_aliked,

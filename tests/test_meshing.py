@@ -10,6 +10,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from colmap_tpu.mvs.meshing import (
     DelaunayMeshingOptions,
     PoissonMeshingOptions,

@@ -11,6 +11,8 @@ controllers/incremental_pipeline_test.cc:66-70).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from colmap_tpu.scene.database import Database
 from colmap_tpu.scene.synthetic import (
     SyntheticDatasetOptions,

@@ -8,6 +8,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from colmap_tpu.mvs.depth_map import read_map, write_map
 from colmap_tpu.mvs.fusion import FusionImage, FusionOptions, fuse_depth_maps
 from colmap_tpu.mvs.patch_match import (

@@ -9,6 +9,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from colmap_tpu.mvs.workspace import (
     run_fusion_workspace,
     run_patch_match_workspace,

@@ -13,6 +13,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from colmap_tpu.estimators import bundle_adjustment as ba
 from colmap_tpu.parallel import sharded_ba
 from colmap_tpu.scene.synthetic_ba import synthetic_ba_problem

@@ -5,6 +5,11 @@ a camera viewing colored quads must sample the right image colors into the
 atlas, and the OBJ bundle must round-trip on disk.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 import os
 
 import numpy as np

@@ -7,6 +7,11 @@ pipeline relies on (reference analog: verifier thread pool equivalence,
 controllers/feature_matching_utils.h:50-133).
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 import numpy as np
 
 from colmap_tpu.estimators.two_view_batch import (
