@@ -16,6 +16,9 @@ the reference constrains its per-observation scales positive. Here the
 collapse is excluded by a linear scale anchor: one designated observation's
 parallel component is pinned, dᵀ(X_p − c_i) = 1, added as a penalized
 pseudo-observation inside the same normal equations (still convex/linear).
+The 3-DOF translation gauge is fixed by pinning the best-covered camera's
+center (masked out of the CG unknowns) — without it the Schur system has an
+exact uniform-shift nullspace that float32 CG cannot tolerate.
 """
 
 from __future__ import annotations
@@ -53,7 +56,11 @@ def _irls_solve(dirs, obs_cam, obs_point, obs_w, state, anchor, num_cams: int,
     centers, points = state
     d = dirs
     a_cam, a_pt, a_dir = anchor
-    mu = options.anchor_weight * jnp.sum(obs_w)
+    # Scale-anchor weight relative to the MEAN observation weight: strong
+    # enough to pin the 1-DOF scale gauge, small enough to keep Hpp / the
+    # Schur system conditioned for float32 (a sum-scaled weight puts the
+    # anchor block ~1e5× above the data blocks and f32 CG diverges).
+    mu = options.anchor_weight * jnp.mean(obs_w)
 
     def proj_apply(v):
         return v - d * jnp.sum(d * v, axis=-1, keepdims=True)
@@ -75,8 +82,18 @@ def _irls_solve(dirs, obs_cam, obs_point, obs_w, state, anchor, num_cams: int,
     )
     Q = mu * jnp.einsum("i,j->ij", a_dir, a_dir)
     Hpp = Hpp.at[a_pt].add(Q)
-    Hpp = Hpp + 1e-10 * eye[None]
+    # Relative ridge: keeps 3x3 inverses finite for weakly-observed points
+    # at any float width (an absolute 1e-10 is below f32 resolution).
+    tr = jnp.trace(Hpp, axis1=-2, axis2=-1)[:, None, None]
+    eps_rel = jnp.asarray(1e-6 if d.dtype == jnp.float32 else 1e-12, d.dtype)
+    Hpp = Hpp + (eps_rel * tr / 3.0 + jnp.asarray(1e-30, d.dtype)) * eye[None]
     Hpp_inv = jnp.linalg.inv(Hpp)
+
+    # Translation-gauge fix: pin the anchor camera's center. The projection
+    # residuals and the scale anchor are all invariant to a uniform shift of
+    # every center+point, so the point-eliminated Schur system has an exact
+    # 3-dim nullspace unless one center is held fixed.
+    cam_mask = (jnp.arange(num_cams) != a_cam).astype(d.dtype)[:, None]
 
     # Anchor residual and gradient contributions.
     r_anchor = jnp.dot(a_dir, points[a_pt] - centers[a_cam]) - 1.0
@@ -106,39 +123,46 @@ def _irls_solve(dirs, obs_cam, obs_point, obs_w, state, anchor, num_cams: int,
         return out
 
     def schur_matvec(xc):
+        xc = xc * cam_mask
         hcc = Hcc_apply(xc)
         hpc = Hpc_apply(xc)
         y = jnp.einsum("pij,pj->pi", Hpp_inv, hpc)
-        return hcc - Hcp_apply(y) + 1e-10 * xc
+        return (hcc - Hcp_apply(y)) * cam_mask + (1.0 - cam_mask) * xc
 
     y0 = jnp.einsum("pij,pj->pi", Hpp_inv, g_x)
-    b = g_c - Hcp_apply(y0)
+    b = (g_c - Hcp_apply(y0)) * cam_mask
 
     diag_c = jax.ops.segment_sum(
         w[:, None] * (1.0 - d * d), obs_cam, num_segments=num_cams
     )
     diag_c = diag_c.at[a_cam].add(mu * a_dir * a_dir)
-    M = 1.0 / (diag_c + 1e-10)
+    M = 1.0 / (diag_c + eps_rel * jnp.mean(diag_c) + jnp.asarray(1e-30, d.dtype))
 
     xc = jnp.zeros_like(b)
     rr = b
     z = M * rr
     p = z
     rz = jnp.sum(rr * z)
+    rz0 = rz
 
     def body(_, st):
         xc, rr, p, rz = st
+        # Freeze once converged: continued f32 CG past convergence breaks
+        # down (beta from tiny rz) and reintroduces noise.
+        live = (rz > 1e-12 * rz0).astype(rr.dtype)
         Ap = schur_matvec(p)
-        alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
+        alpha = live * rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
         xc = xc + alpha * p
         rr = rr - alpha * Ap
         z = M * rr
         rz_new = jnp.sum(rr * z)
-        beta = rz_new / jnp.maximum(rz, 1e-30)
-        p = z + beta * p
-        return xc, rr, p, rz_new
+        beta = live * rz_new / jnp.maximum(rz, 1e-30)
+        p = live * (z + beta * p) + (1.0 - live) * p
+        rz = live * rz_new + (1.0 - live) * rz
+        return xc, rr, p, rz
 
     xc, _, _, _ = jax.lax.fori_loop(0, options.cg_iterations, body, (xc, rr, p, rz))
+    xc = xc * cam_mask
 
     dx = jnp.einsum("pij,pj->pi", Hpp_inv, g_x - Hpc_apply(xc))
 

@@ -51,6 +51,9 @@ class GlobalMapperOptions:
     min_triangulation_angle_deg: float = 1.0
     max_reproj_error_px: float = 4.0  # filtering after BA
     num_iterative_ba_rounds: int = 3
+    # Retriangulate-and-refine rounds after the joint BA stage
+    # (reference: IterativeRetriangulateAndRefine, global_mapper.cc:588-613).
+    num_retriangulation_rounds: int = 2
     rotation_averaging: RotationAveragingOptions = dataclasses.field(
         default_factory=RotationAveragingOptions
     )
@@ -133,33 +136,43 @@ class GlobalMapper:
         if not tracks:
             return False
 
-        # 3. Global positioning.
+        # 3. Global positioning. Unprojection is batched per camera (one
+        # device call per camera, not per observation) and the rotation to
+        # world frame is one einsum — reference formulates this as a Ceres
+        # problem (estimators/global_positioning.h:33-120); here the prep
+        # itself must stay batch-shaped for TPU dispatch economy.
         self._log(options, f"Global positioning: {len(tracks)} tracks")
-        obs_cam, obs_point, dirs = [], [], []
-        for t_idx, track in enumerate(tracks):
-            for (iid, p2d_idx) in track:
-                image = recon.images[iid]
-                cam = recon.cameras[image.camera_id]
-                uv, ok = camera_models.cam_from_img(
-                    cam.model_id, jnp.asarray(cam.params),
-                    jnp.asarray(image.points2D_xy[p2d_idx]),
-                )
-                if not bool(ok):
-                    continue
-                d_cam = np.concatenate([np.asarray(uv), [1.0]])
-                d_cam /= np.linalg.norm(d_cam)
-                # World direction: R_iᵀ d_cam.
-                from colmap_tpu.scene.types import Pose as _P
+        obs_iid = np.array([iid for track in tracks for (iid, _) in track])
+        obs_p2d = np.array([p for track in tracks for (_, p) in track])
+        obs_trk = np.repeat(np.arange(len(tracks)), [len(t) for t in tracks])
+        obs_xy = np.stack(
+            [recon.images[iid].points2D_xy[p] for iid, p in zip(obs_iid, obs_p2d)]
+        )
+        cam_of_obs = np.array([recon.images[iid].camera_id for iid in obs_iid])
+        uv = np.zeros((len(obs_iid), 2))
+        ok = np.zeros(len(obs_iid), dtype=bool)
+        for cid in np.unique(cam_of_obs):
+            cam = recon.cameras[int(cid)]
+            sel = cam_of_obs == cid
+            uv_c, ok_c = camera_models.cam_from_img(
+                cam.model_id, jnp.asarray(cam.params), jnp.asarray(obs_xy[sel])
+            )
+            uv[sel] = np.asarray(uv_c)
+            ok[sel] = np.asarray(ok_c)
+        d_cam = np.concatenate([uv, np.ones((len(uv), 1))], axis=1)
+        d_cam /= np.linalg.norm(d_cam, axis=1, keepdims=True)
+        from colmap_tpu.geometry.rotation import quat_to_rotmat
 
-                q = quats[row[iid]]
-                R = _P(q, np.zeros(3)).rotmat()
-                dirs.append(R.T @ d_cam)
-                obs_cam.append(row[iid])
-                obs_point.append(t_idx)
+        Rs = np.asarray(quat_to_rotmat(jnp.asarray(quats)))  # (N, 3, 3)
+        obs_row = np.array([row[iid] for iid in obs_iid])
+        dirs = np.einsum("oji,oj->oi", Rs[obs_row], d_cam)  # R_iᵀ d_cam
+        obs_cam = obs_row[ok]
+        obs_point = obs_trk[ok]
+        dirs = dirs[ok]
 
         centers, points = solve_global_positioning(
             len(image_ids), len(tracks),
-            np.asarray(obs_cam), np.asarray(obs_point), np.asarray(dirs),
+            obs_cam, obs_point, dirs,
             options=options.positioning,
         )
 
@@ -191,6 +204,31 @@ class GlobalMapper:
             self._log(options, f"  filtered {n} observations")
             if n == 0:
                 break
+
+        # 5. Retriangulate-and-refine: recover observations lost to the
+        # filters and densify tracks now that poses are accurate
+        # (reference: IterativeRetriangulateAndRefine,
+        # sfm/global_mapper.cc:588-613).
+        if options.num_retriangulation_rounds > 0:
+            from colmap_tpu.sfm.incremental_triangulator import (
+                IncrementalTriangulator,
+                TriangulatorOptions,
+            )
+
+            tri = IncrementalTriangulator(self.cache.correspondence_graph, recon)
+            tri_opts = TriangulatorOptions(
+                complete_max_reproj_error_px=options.max_reproj_error_px,
+                merge_max_reproj_error_px=options.max_reproj_error_px,
+            )
+            for i in range(options.num_retriangulation_rounds):
+                n_tri = tri.retriangulate(tri_opts)
+                tri.complete_and_merge_tracks(list(recon.points3D.keys()), tri_opts)
+                self._log(options, f"Retriangulation round {i + 1}: {n_tri} obs")
+                self._global_ba(recon, options, refine_rotations=True)
+                n = self._filter_points(recon, options)
+                self._log(options, f"  filtered {n} observations")
+                if n == 0 and n_tri == 0:
+                    break
         recon.update_point3D_errors()
         return recon.num_reg_frames() >= 2
 
@@ -282,28 +320,46 @@ class GlobalMapper:
         update_reconstruction(recon, solved, index)
 
     def _filter_points(self, recon, options) -> int:
-        """Reprojection-error and angle filtering (normalized thresholds)."""
-        num_filtered = 0
-        for p3d_id in list(recon.points3D.keys()):
-            point = recon.points3D[p3d_id]
-            drop = []
+        """Reprojection-error and cheirality filtering, batched: one
+        projection call per camera over every observation (the reference
+        walks observations one by one; a TPU dispatch per observation would
+        dominate the whole solve)."""
+        obs = []  # (p3d_id, image_id, point2D_idx)
+        for p3d_id, point in recon.points3D.items():
             for el in point.track:
-                img = recon.images[el.image_id]
-                cam = recon.cameras[img.camera_id]
-                pose = recon.cam_from_world(el.image_id)
-                Xc = pose.apply(point.xyz[None])[0]
-                if Xc[2] <= 0:
-                    drop.append(el)
-                    continue
-                proj, ok = camera_models.img_from_cam(
-                    cam.model_id, jnp.asarray(cam.params), jnp.asarray(Xc)
-                )
-                if not bool(ok) or np.linalg.norm(
-                    np.asarray(proj) - img.points2D_xy[el.point2D_idx]
-                ) > options.max_reproj_error_px:
-                    drop.append(el)
-            for el in drop:
-                if p3d_id in recon.points3D:
-                    recon.delete_observation(el.image_id, el.point2D_idx)
-                    num_filtered += 1
+                obs.append((p3d_id, el.image_id, el.point2D_idx))
+        if not obs:
+            return 0
+        p3d_ids = np.array([o[0] for o in obs])
+        img_ids = np.array([o[1] for o in obs])
+        p2d_idx = np.array([o[2] for o in obs])
+        xyz = np.stack([recon.points3D[p].xyz for p in p3d_ids])
+        xy = np.stack(
+            [recon.images[i].points2D_xy[p] for i, p in zip(img_ids, p2d_idx)]
+        )
+        # Per-image pose applied in one vectorized pass.
+        uniq_imgs, inv = np.unique(img_ids, return_inverse=True)
+        Rs = np.stack([recon.cam_from_world(i).rotmat() for i in uniq_imgs])
+        ts = np.stack([recon.cam_from_world(i).t for i in uniq_imgs])
+        Xc = np.einsum("oij,oj->oi", Rs[inv], xyz) + ts[inv]
+        cam_of = np.array([recon.images[i].camera_id for i in uniq_imgs])[inv]
+        bad = Xc[:, 2] <= 0
+        err = np.full(len(obs), np.inf)
+        for cid in np.unique(cam_of):
+            cam = recon.cameras[int(cid)]
+            sel = (cam_of == cid) & ~bad
+            if not sel.any():
+                continue
+            proj, ok = camera_models.img_from_cam(
+                cam.model_id, jnp.asarray(cam.params), jnp.asarray(Xc[sel])
+            )
+            e = np.linalg.norm(np.asarray(proj) - xy[sel], axis=1)
+            e[~np.asarray(ok)] = np.inf
+            err[sel] = e
+        drop = bad | (err > options.max_reproj_error_px)
+        num_filtered = 0
+        for k in np.nonzero(drop)[0]:
+            if int(p3d_ids[k]) in recon.points3D:
+                recon.delete_observation(int(img_ids[k]), int(p2d_idx[k]))
+                num_filtered += 1
         return num_filtered

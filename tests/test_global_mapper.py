@@ -123,14 +123,20 @@ def test_global_positioning_recovers_geometry():
     assert np.linalg.norm(aligned_pts - points_gt, axis=1).max() < 1e-2
 
 
-def test_global_pipeline_end_to_end():
+@pytest.mark.parametrize("has_rel_pose", [True, False])
+def test_global_pipeline_end_to_end(has_rel_pose):
+    """has_rel_pose=False is the realistic path: relative poses are NOT
+    stored in the database and must be decomposed from E on the fly —
+    exactly what the global_mapper CLI does on real data (reference:
+    controllers/global_pipeline.cc decomposes via
+    EstimateTwoViewGeometryPose)."""
     opt = SyntheticDatasetOptions(
         num_rigs=1,
         num_frames_per_rig=8,
         num_points3D=150,
         num_points2D_without_point3D=5,
         seed=31,
-        two_view_geometry_has_relative_pose=True,
+        two_view_geometry_has_relative_pose=has_rel_pose,
         camera_has_prior_focal_length=True,
     )
     db = Database(":memory:")
