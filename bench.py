@@ -126,15 +126,17 @@ def main():
     if os.environ.get("COLMAP_TPU_BENCH_FAST"):
         return
 
-    # (bench fn, wall budget seconds) cheapest-first; PatchMatch last.
+    # (bench fn, wall budget seconds) cheapest-first; PatchMatch sizes last
+    # (small size first so a px/s number is recorded before the big one).
     extras = [
         (rt.bench_matching, 180),
-        (rt.bench_verification, 240),
+        (rt.bench_verification, 300),
         (rt.bench_extraction, 240),
         (rt.bench_evaluate_auc, 420),
         (rt.bench_incremental_mapping, 420),
         (rt.bench_ba_sharded_scaling, 420),
-        (rt.bench_patch_match, 300),
+        (rt.bench_patch_match, 240),
+        (rt.bench_patch_match_480, 300),
     ]
     for bench, budget in extras:
         t0 = time.perf_counter()

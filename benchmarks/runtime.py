@@ -303,8 +303,15 @@ def bench_verification(n_images: int = 16, n_feat: int = 1024) -> Dict:
 # MVS
 
 
-def bench_patch_match(h: int = 480, w: int = 640, n_src: int = 8,
+def bench_patch_match(h: int = 240, w: int = 320, n_src: int = 8,
                       n_iterations: int = 2) -> Dict:
+    """240x320 first so a number is recorded within budget (VERDICT r3
+    item 9); bench.py runs a second 480x640 size when time remains."""
+    return _bench_patch_match_size(h, w, n_src, n_iterations)
+
+
+def _bench_patch_match_size(h: int, w: int, n_src: int,
+                            n_iterations: int) -> Dict:
     """PatchMatch stereo pixel throughput (full photometric run:
     n_iterations x 2 parities; reference kernel patch_match_cuda.cu:1304)."""
     import jax.numpy as jnp
@@ -357,7 +364,7 @@ def bench_patch_match(h: int = 480, w: int = 640, n_src: int = 8,
 # Incremental mapping
 
 
-def bench_incremental_mapping(num_frames: int = 30,
+def bench_incremental_mapping(num_frames: int = 15,
                               num_points: int = 200) -> Dict:
     """Synthetic-database incremental mapping frames/s
     (reference: benchmark/runtime/incremental_mapping.cc:114-165)."""
@@ -400,7 +407,11 @@ def bench_incremental_mapping(num_frames: int = 30,
     }
 
 
-def bench_evaluate_auc(num_frames: int = 20, num_points: int = 200) -> Dict:
+def bench_patch_match_480(n_src: int = 8, n_iterations: int = 2) -> Dict:
+    return _bench_patch_match_size(480, 640, n_src, n_iterations)
+
+
+def bench_evaluate_auc(num_frames: int = 12, num_points: int = 200) -> Dict:
     """Accuracy + mapping-throughput extra: one synthetic-scene evaluation
     run through the AUC harness (reference:
     benchmark/reconstruction/evaluate.py:30-57). Records mean pose AUC and
@@ -428,6 +439,7 @@ ALL_BENCHES = [
     bench_matching,
     bench_verification,
     bench_patch_match,
+    bench_patch_match_480,
     bench_incremental_mapping,
     bench_evaluate_auc,
 ]

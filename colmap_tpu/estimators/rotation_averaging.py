@@ -28,6 +28,13 @@ class RotationAveragingOptions:
     irls_loss_width: float = np.deg2rad(5.0)  # Geman-McClure width
     cg_iterations: int = 50
     function_tolerance: float = 1e-8
+    # Gravity-stratified mode (reference: rotation_averaging.h:25-102):
+    # frames with a gravity prior keep only the 1-DOF yaw about the world
+    # gravity axis. With this solver's right-multiplicative world-frame
+    # tangent updates the stratification is exact: the constraint
+    # R Exp(δ̂) g_w = g_cam reduces to δ ∈ span(g_w), a per-node projector
+    # inside the same CG solve — no separate stratified solver needed.
+    use_gravity: bool = True
 
 
 def spanning_tree_init(num_nodes: int, edges: np.ndarray, rel_quats: np.ndarray,
@@ -113,24 +120,33 @@ def _edge_residuals(quats, edges, rel_quats):
     return _quat_log(err)
 
 
-def _solve_tangent_cg(edges, r, w, num_nodes, free_mask, iterations):
+def _solve_tangent_cg(edges, r, w, num_nodes, free_mask, iterations,
+                      proj=None):
     """Solve min Σ_e w_e |δ_j - δ_i - r_e|² by CG on the weighted Laplacian.
 
-    free_mask: (N,) 1.0 for free nodes, 0 pins the gauge. Returns (N, 3).
+    free_mask: (N,) 1.0 for free nodes, 0 pins the gauge. proj: optional
+    (N, 3, 3) per-node tangent projectors (gravity stratification: rank-1
+    ĝĝᵀ for gravity-aligned nodes, identity otherwise). Returns (N, 3).
     """
     i_idx = edges[:, 0]
     j_idx = edges[:, 1]
+
+    def constrain(x):
+        x = x * free_mask[:, None]
+        if proj is not None:
+            x = jnp.einsum("nde,ne->nd", proj, x)
+        return x
 
     def matvec(x):
         # A x where A = Lᵀ W L with L the incidence operator.
         d = (x[j_idx] - x[i_idx]) * w[:, None]
         out = jax.ops.segment_sum(d, j_idx, num_segments=num_nodes)
         out -= jax.ops.segment_sum(d, i_idx, num_segments=num_nodes)
-        return out * free_mask[:, None]
+        return constrain(out)
 
     b = jax.ops.segment_sum(r * w[:, None], j_idx, num_segments=num_nodes)
     b -= jax.ops.segment_sum(r * w[:, None], i_idx, num_segments=num_nodes)
-    b = b * free_mask[:, None]
+    b = constrain(b)
 
     deg = jax.ops.segment_sum(w, i_idx, num_segments=num_nodes)
     deg += jax.ops.segment_sum(w, j_idx, num_segments=num_nodes)
@@ -158,6 +174,47 @@ def _solve_tangent_cg(edges, r, w, num_nodes, free_mask, iterations):
     return x
 
 
+def _align_quat(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Minimal rotation (quat) taking direction a to direction b."""
+    a = a / np.linalg.norm(a)
+    b = b / np.linalg.norm(b)
+    c = np.cross(a, b)
+    w = 1.0 + float(np.dot(a, b))
+    if w < 1e-9:  # antiparallel: rotate pi about any orthogonal axis
+        ortho = np.array([-a[1] - a[2], a[0], a[0]])
+        q = np.concatenate([[0.0], ortho])
+    else:
+        q = np.concatenate([[w], c])
+    return q / np.linalg.norm(q)
+
+
+def _snap_to_gravity(quats: np.ndarray, gravity_cam: np.ndarray,
+                     g_world: np.ndarray) -> np.ndarray:
+    """Project initial rotations onto the gravity-constraint manifold:
+    for each node with a measured camera-frame gravity g_i, replace q by
+    the closest rotation with R g_world = g_i (keep the yaw of q)."""
+    out = quats.copy()
+    for i in range(len(quats)):
+        g = gravity_cam[i]
+        if not np.all(np.isfinite(g)):
+            continue
+        # R0: any rotation taking g_world to g_i.
+        q0 = _align_quat(g_world, g)
+        # Residual R0^-1 R — keep only its rotation about g_world.
+        q0_inv = q0 * np.array([1.0, -1, -1, -1])
+        qr = np.asarray(rot.quat_multiply(jnp.asarray(q0_inv), jnp.asarray(quats[i])))
+        qr = qr / np.linalg.norm(qr)
+        v = qr[1:]
+        # Yaw about g_world closest to qr: project the vector part.
+        proj = np.dot(v, g_world) * g_world
+        qy = np.concatenate([[qr[0]], proj])
+        n = np.linalg.norm(qy)
+        qy = qy / n if n > 1e-12 else np.array([1.0, 0, 0, 0])
+        q = np.asarray(rot.quat_multiply(jnp.asarray(q0), jnp.asarray(qy)))
+        out[i] = q / np.linalg.norm(q)
+    return out
+
+
 def estimate_rotations(
     num_nodes: int,
     edges: np.ndarray,
@@ -166,10 +223,15 @@ def estimate_rotations(
     fixed_nodes: Optional[List[int]] = None,
     options: Optional[RotationAveragingOptions] = None,
     initial_quats: Optional[np.ndarray] = None,
+    gravity_cam: Optional[np.ndarray] = None,
+    gravity_in_world: Tuple[float, float, float] = (0.0, 1.0, 0.0),
 ) -> np.ndarray:
     """Estimate absolute rotations (cam_from_world) from relative rotations.
 
     edges: (E, 2) [i, j]; rel_quats: (E, 4) with q_j = q_rel ⊗ q_i.
+    gravity_cam: optional (N, 3) measured gravity direction in each camera
+    frame (NaN rows = no prior) — enables the 1-DOF stratified mode
+    (reference: rotation_averaging.h:25-102).
     Returns (N, 4) quats (node 0 of each component gauge-fixed unless
     fixed_nodes given).
     """
@@ -181,6 +243,20 @@ def estimate_rotations(
         edge_weights = np.ones(len(edges))
     if initial_quats is None:
         initial_quats = spanning_tree_init(num_nodes, edges, rel_quats_np, edge_weights)
+
+    proj = None
+    g_world = np.asarray(gravity_in_world, dtype=np.float64)
+    g_world = g_world / np.linalg.norm(g_world)
+    if options.use_gravity and gravity_cam is not None:
+        gravity_cam = np.asarray(gravity_cam, dtype=np.float64)
+        has_g = np.all(np.isfinite(gravity_cam), axis=1)
+        if has_g.any():
+            initial_quats = _snap_to_gravity(
+                np.asarray(initial_quats), gravity_cam, g_world
+            )
+            P = np.tile(np.eye(3), (num_nodes, 1, 1))
+            P[has_g] = np.outer(g_world, g_world)
+            proj = jnp.asarray(P)
 
     quats = jnp.asarray(initial_quats)
     e = jnp.asarray(edges)
@@ -208,7 +284,8 @@ def estimate_rotations(
         w_l1 = 1.0 / jnp.maximum(rn, 1e-5)
         gm = sigma**2 / (rn**2 + sigma**2) ** 2
         w = jnp.where(use_l1, w_l1, gm)
-        delta = _solve_tangent_cg(e, r_world, w, num_nodes, free, options.cg_iterations)
+        delta = _solve_tangent_cg(e, r_world, w, num_nodes, free,
+                                  options.cg_iterations, proj=proj)
         new_quats = rot.quat_normalize(rot.quat_multiply(quats, _quat_exp(delta)))
         return new_quats, jnp.sum(rn)
 

@@ -60,6 +60,10 @@ class SyntheticDatasetOptions:
     camera_model_ids: Optional[tuple] = None
     camera_params_list: Optional[tuple] = None
     num_points2D_without_point3D: int = 10
+    # Gaussian noise on the 2D observations written to the database
+    # (reference keeps the noise knobs inside the options struct,
+    # synthetic.h:75+; add_noise() remains the post-hoc impl for models).
+    point2D_stddev: float = 0.0
     inlier_match_ratio: float = 1.0
     two_view_geometry_has_relative_pose: bool = False
     match_config: MatchConfig = MatchConfig.EXHAUSTIVE
@@ -224,6 +228,10 @@ def synthesize_dataset(
                 obs_pid = [obs_pid[i] for i in perm]
 
                 image.points2D_xy = np.array(obs_xy).reshape(-1, 2)
+                if options.point2D_stddev > 0 and len(obs_xy):
+                    image.points2D_xy = image.points2D_xy + rng.normal(
+                        0, options.point2D_stddev, image.points2D_xy.shape
+                    )
                 image.points2D_p3d = np.full(len(obs_xy), -1, dtype=np.int64)
                 from colmap_tpu.scene.types import INVALID_POINT3D
 

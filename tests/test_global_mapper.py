@@ -149,3 +149,92 @@ def test_global_pipeline_end_to_end(has_rel_pose):
     assert cmp["num_common_images"] == 8
     assert cmp["max_rotation_error_deg"] < 0.5
     assert cmp["max_center_error"] < 0.05
+
+
+def test_rotation_averaging_gravity_stratified():
+    """1-DOF stratified mode (reference: rotation_averaging.h:25-102):
+    with exact gravity priors on every frame, noisy relative rotations
+    perturb only the yaw; the stratified solution must (a) satisfy the
+    gravity constraint exactly and (b) beat the unstratified solution."""
+    import jax.numpy as jnp
+
+    from colmap_tpu.geometry import rotation as rot
+    from colmap_tpu.estimators.rotation_averaging import (
+        RotationAveragingOptions,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 20
+    g_world = np.array([0.0, 1.0, 0.0])
+    gt = _random_quats(rng, n)
+    gravity_cam = np.stack([
+        np.asarray(rot.quat_rotate(jnp.asarray(q), jnp.asarray(g_world)))
+        for q in gt
+    ])
+    edges, rels = [], []
+    for i in range(n):
+        edges.append((i, (i + 1) % n))
+    for _ in range(3 * n):
+        i, j = rng.choice(n, 2, replace=False)
+        edges.append((int(i), int(j)))
+    for (i, j) in edges:
+        q = _relative_quat(gt[i], gt[j])
+        # Noise ~2 deg on every edge.
+        axis = rng.standard_normal(3)
+        axis /= np.linalg.norm(axis)
+        ang = np.deg2rad(rng.normal(0, 2.0))
+        dq = np.concatenate([[np.cos(ang / 2)], np.sin(ang / 2) * axis])
+        q = np.asarray(rot.quat_multiply(jnp.asarray(dq), jnp.asarray(q)))
+        rels.append(q / np.linalg.norm(q))
+
+    def errs(est):
+        err = np.asarray(rot.quat_multiply(
+            rot.quat_conjugate(jnp.asarray(gt)), jnp.asarray(est)))
+        # Gauge here is a yaw about g_world; compare angular distance after
+        # removing the best common gauge rotation.
+        ref = err[0] / np.linalg.norm(err[0])
+        out = []
+        for e in err:
+            e = e / np.linalg.norm(e)
+            out.append(np.rad2deg(
+                2 * np.arccos(min(1.0, abs(float(np.dot(e, ref)))))))
+        return np.asarray(out)
+
+    est_plain = estimate_rotations(
+        n, np.asarray(edges), np.asarray(rels),
+        options=RotationAveragingOptions(use_gravity=False),
+    )
+    est_grav = estimate_rotations(
+        n, np.asarray(edges), np.asarray(rels),
+        gravity_cam=gravity_cam,
+        options=RotationAveragingOptions(),
+    )
+    # (a) constraint satisfied to numerical precision.
+    for i in range(n):
+        g_pred = np.asarray(rot.quat_rotate(
+            jnp.asarray(est_grav[i]), jnp.asarray(g_world)))
+        assert np.linalg.norm(g_pred - gravity_cam[i]) < 1e-9
+    # (b) stratified strictly better than unstratified on this noise.
+    assert np.median(errs(est_grav)) < np.median(errs(est_plain))
+
+
+def test_global_pipeline_with_gravity_priors():
+    opt = SyntheticDatasetOptions(
+        num_rigs=1,
+        num_frames_per_rig=8,
+        num_points3D=120,
+        num_points2D_without_point3D=5,
+        seed=11,
+        two_view_geometry_has_relative_pose=False,
+        camera_has_prior_focal_length=True,
+        prior_gravity=True,
+    )
+    db = Database(":memory:")
+    gt = synthesize_dataset(opt, database=db)
+    pipeline = GlobalPipeline(GlobalPipelineOptions(), db)
+    recon = pipeline.run()
+    assert recon is not None
+    assert recon.num_reg_frames() == 8
+    cmp = compare_reconstructions(recon, gt)
+    assert cmp["max_rotation_error_deg"] < 0.5
+    assert cmp["max_center_error"] < 0.05
