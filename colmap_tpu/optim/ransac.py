@@ -48,6 +48,13 @@ class RansacOptions:
     # "inlier_count" = InlierSupportMeasurer; "m_estimator" = MSAC-style
     # truncated-residual score (MEstimatorSupportMeasurer).
     support: str = "inlier_count"  # "inlier_count" | "m_estimator"
+    # LO-RANSAC structure: the local refinement runs BETWEEN trial rounds
+    # (lo_outer_rounds refits total), not inside every while_loop body.
+    # Rationale (TPU): the refit's small-matrix eigendecomposition costs
+    # ~10x a propose-and-score body; the reference's LORANSAC likewise
+    # refits only on new-best models, O(log trials) times
+    # (optim/loransac.h:78-130), not per trial batch.
+    lo_outer_rounds: int = 8
 
 
 class RansacResult(NamedTuple):
@@ -209,11 +216,6 @@ def ransac(
         c_model, c_score, c_count = best_of(
             model, score, count, new_model, new_score, new_count
         )
-        if local_refine_fn is not None:
-            c_model, c_score, c_count = _try_refine(
-                c_model, c_score, c_count, residual_fn, local_refine_fn, mask,
-                max_sq, msac,
-            )
         upd = ~done
         model = jax.tree.map(
             lambda a, b: jnp.where(upd, b, a), model, c_model
@@ -225,9 +227,33 @@ def ransac(
         done = done | ~continue_p(count, trials)
         return key, model, score, count, trials, done
 
-    key, model, score, count, trials, _done = jax.lax.while_loop(
-        cond, body, (key, model0, score0, count0, jnp.asarray(K), done0)
-    )
+    state = (key, model0, score0, count0, jnp.asarray(K), done0)
+    if local_refine_fn is None:
+        state = jax.lax.while_loop(cond, body, state)
+    else:
+        # Chunked trial rounds with one refit between rounds (see
+        # lo_outer_rounds). Round r's inner loop additionally stops at a
+        # static trial watermark so refits happen ~lo_outer_rounds times;
+        # the final round runs to the full budget.
+        R = max(1, options.lo_outer_rounds)
+        for rnd in range(R):
+            limit = (
+                options.max_num_trials if rnd == R - 1
+                else ((rnd + 1) * options.max_num_trials) // R
+            )
+
+            def cond_r(state, limit=limit):
+                return (~state[5]) & (state[4] < limit)
+
+            state = jax.lax.while_loop(cond_r, body, state)
+            key_s, model_s, score_s, count_s, trials_s, done_s = state
+            r_model, r_score, r_count = _try_refine(
+                model_s, score_s, count_s, residual_fn, local_refine_fn,
+                mask, max_sq, msac,
+            )
+            done_s = done_s | ~continue_p(r_count, trials_s)
+            state = (key_s, r_model, r_score, r_count, trials_s, done_s)
+    key, model, score, count, trials, _done = state
 
     res = residual_fn(jax.tree.map(lambda x: x[None], model))[0]
     inlier_mask = (res <= max_sq) & mask

@@ -124,7 +124,7 @@ def sharded_lm_step(mesh: Mesh, model_id: int, options: ba.BAOptions,
 # a (hosts*chips,) mesh via jax.distributed (see colmap_tpu.parallel.multihost).
 
 
-def pack_problem_sharded(problem: ba.BAProblem, n_dev: int, align: int = 8):
+def pack_problem_sharded(problem: ba.BAProblem, n_dev: int, align: int = 2):
     """Partition points (and their observations) into n_dev shards, each
     packed with pack_problem at globally uniform capacities.
 
@@ -223,7 +223,7 @@ def make_sharded_packed_solver(mesh: Mesh, model_id: int,
         obs_frame=dev, obs_cam=dev, obs_point=dev, obs_xy=dev, obs_w=dev,
     )
     maps_specs = jax.tree.map(lambda _: dev, ba.PackedMaps(
-        p2f=0, f2p=0, cam_onehot=0, cam_onehot_bin=0, frame_pm=0, cam_pm=0,
+        frame_pm=0, cam_pm=0,
     ))
     masks_specs = ba.BAMasks(
         frame_mask=rep, frame_trans_mask=rep, cam_mask=rep, point_mask=dev,
