@@ -14,7 +14,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from colmap_tpu.optim.small_linalg import eigh_small, nullspace_small, svd3x3
+from colmap_tpu.optim.small_linalg import (
+    bmm_small, eigh_small, nullspace_small, svd3x3,
+)
 from colmap_tpu.optim.polynomial import solve_cubic
 
 
@@ -68,6 +70,29 @@ def _smallest_right_singular(A):
     return vecs[..., :, 0]
 
 
+def _det3(M):
+    """Closed-form batched 3x3 determinant (jnp.linalg.det lowers to a
+    batched LU custom call — slow and f64-fragile on this backend)."""
+    return (
+        M[..., 0, 0] * (M[..., 1, 1] * M[..., 2, 2] - M[..., 1, 2] * M[..., 2, 1])
+        - M[..., 0, 1] * (M[..., 1, 0] * M[..., 2, 2] - M[..., 1, 2] * M[..., 2, 0])
+        + M[..., 0, 2] * (M[..., 1, 0] * M[..., 2, 1] - M[..., 1, 1] * M[..., 2, 0])
+    )
+
+
+def _similarity_inv(T):
+    """Analytic inverse of a Hartley similarity [[s,0,tx],[0,s,ty],[0,0,1]]."""
+    s = T[..., 0, 0]
+    inv_s = 1.0 / s
+    z = jnp.zeros_like(s)
+    o = jnp.ones_like(s)
+    return jnp.stack([
+        jnp.stack([inv_s, z, -T[..., 0, 2] * inv_s], axis=-1),
+        jnp.stack([z, inv_s, -T[..., 1, 2] * inv_s], axis=-1),
+        jnp.stack([z, z, o], axis=-1),
+    ], axis=-2)
+
+
 def fundamental_eight_point(x1, x2, weights=None):
     """8-point (or weighted N-point) fundamental matrix.
 
@@ -83,8 +108,8 @@ def fundamental_eight_point(x1, x2, weights=None):
     # Rank-2 enforcement.
     U, S, Vt = svd3x3(F)
     S = S.at[..., 2].set(0.0)
-    F = U @ (S[..., None] * Vt)
-    F = jnp.swapaxes(T2, -1, -2) @ F @ T1
+    F = bmm_small(U, S[..., None] * Vt)
+    F = bmm_small(bmm_small(jnp.swapaxes(T2, -1, -2), F), T1)
     norm = jnp.linalg.norm(F.reshape(F.shape[:-2] + (9,)), axis=-1)
     return F / jnp.maximum(norm, 1e-30)[..., None, None]
 
@@ -101,11 +126,11 @@ def essential_eight_point(x1, x2, weights=None):
         A = A * weights[..., None]
     f = _smallest_right_singular(A)
     E = f.reshape(f.shape[:-1] + (3, 3))
-    E = jnp.swapaxes(T2, -1, -2) @ E @ T1
+    E = bmm_small(bmm_small(jnp.swapaxes(T2, -1, -2), E), T1)
     U, S, Vt = svd3x3(E)
     ones = jnp.ones_like(S[..., :2])
     S_proj = jnp.concatenate([ones, jnp.zeros_like(S[..., :1])], axis=-1)
-    E = U @ (S_proj[..., None] * Vt)
+    E = bmm_small(U, S_proj[..., None] * Vt)
     return E
 
 
@@ -120,7 +145,7 @@ def essential_eight_point_rays(r1, r2, weights=None):
     U, S, Vt = svd3x3(E)
     ones = jnp.ones_like(S[..., :2])
     S_proj = jnp.concatenate([ones, jnp.zeros_like(S[..., :1])], axis=-1)
-    return U @ (S_proj[..., None] * Vt)
+    return bmm_small(U, S_proj[..., None] * Vt)
 
 
 def homography_ray_dlt(r1, r2, weights=None):
@@ -463,7 +488,7 @@ def fundamental_seven_point(x1, x2):
     # det(a F1 + (1-a) F2) = 0: cubic in a. Evaluate by polynomial
     # interpolation of g(a) at 4 points (exact for cubic).
     def g(a):
-        return jnp.linalg.det(a[..., None, None] * f1 + (1 - a)[..., None, None] * f2)
+        return _det3(a[..., None, None] * f1 + (1 - a)[..., None, None] * f2)
 
     a_nodes = jnp.asarray([0.0, 1.0, 2.0, -1.0], dtype=x1.dtype)
     gv = jnp.stack([g(jnp.full(batch, an, x1.dtype)) for an in a_nodes], axis=-1)
@@ -476,7 +501,7 @@ def fundamental_seven_point(x1, x2):
 
     def build(a, ok):
         F = a[..., None, None] * f1 + (1 - a)[..., None, None] * f2
-        F = jnp.swapaxes(T2, -1, -2) @ F @ T1
+        F = bmm_small(bmm_small(jnp.swapaxes(T2, -1, -2), F), T1)
         norm = jnp.linalg.norm(F.reshape(F.shape[:-2] + (9,)), axis=-1)
         F = F / jnp.maximum(norm, 1e-30)[..., None, None]
         return jnp.where(ok[..., None, None], F, jnp.nan)
@@ -507,7 +532,7 @@ def homography_dlt(x1, x2, weights=None):
         A = A * w2[..., None]
     h = _smallest_right_singular(A)
     H = h.reshape(h.shape[:-1] + (3, 3))
-    H = jnp.linalg.inv(T2) @ H @ T1
+    H = bmm_small(bmm_small(_similarity_inv(T2), H), T1)
     # Normalize by H[2,2]-ish scale (use Frobenius for robustness).
     norm = jnp.linalg.norm(H.reshape(H.shape[:-2] + (9,)), axis=-1)
     return H / jnp.maximum(norm, 1e-30)[..., None, None]
@@ -520,12 +545,15 @@ def homography_transfer_error(H, x1, x2):
     per-point convention of sampson_error/squared_epipolar_line_distance so
     RANSAC residual closures are uniform across model families.
     """
-    ones = jnp.ones_like(x1[..., :1])
-    p1 = jnp.concatenate([x1, ones], axis=-1)
-    Hx = jnp.einsum("...ij,...j->...i", H, p1)
-    w = Hx[..., 2]
+    # Component broadcast form (no (models, points, 3, 3) einsum
+    # materialization — see geometry/essential.sampson_error).
+    u1, v1 = x1[..., 0], x1[..., 1]
+    hx = H[..., 0, 0] * u1 + H[..., 0, 1] * v1 + H[..., 0, 2]
+    hy = H[..., 1, 0] * u1 + H[..., 1, 1] * v1 + H[..., 1, 2]
+    w = H[..., 2, 0] * u1 + H[..., 2, 1] * v1 + H[..., 2, 2]
     bad = jnp.abs(w) < 1e-12
     safe_w = jnp.where(bad, 1.0, w)
-    proj = Hx[..., :2] / safe_w[..., None]
-    err = jnp.sum((proj - x2) ** 2, axis=-1)
+    dx = hx / safe_w - x2[..., 0]
+    dy = hy / safe_w - x2[..., 1]
+    err = dx * dx + dy * dy
     return jnp.where(bad, jnp.inf, err)

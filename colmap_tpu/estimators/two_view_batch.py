@@ -59,14 +59,22 @@ class _BlockResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("ransac_options",))
-def _verify_block(key, x1, x2, x1n, x2n, mask, thresh_n,
+def _verify_block(key, coords, mask, thresh_n,
                   ransac_options) -> _BlockResult:
-    """Vmapped E+F+H estimation over a (B, M, 2) pair block.
+    """Vmapped E+F+H estimation over a pair block.
+
+    coords: (B, M, 8) packed [x1 | x2 | x1n | x2n] — ONE host->device
+    transfer per block (the tunnel pays ~50-100 ms latency per transfer;
+    four separate arrays dominated the verification wall).
 
     E is always computed (its cost is within the F budget and lax branches
     under vmap would run both sides anyway); the host ignores it for
     uncalibrated pairs.
     """
+    x1 = coords[..., 0:2]
+    x2 = coords[..., 2:4]
+    x1n = coords[..., 4:6]
+    x2n = coords[..., 6:8]
 
     def single(x1, x2, x1n, x2n, mask, thresh_n):
         kf, ke, kh = jax.random.split(key, 3)
@@ -77,15 +85,28 @@ def _verify_block(key, x1, x2, x1n, x2n, mask, thresh_n,
             x1, x2, res_e.inlier_mask.astype(x1.dtype)
         )
         num_fh = jnp.sum(res_f.inlier_mask & res_h.inlier_mask)
-        return _BlockResult(
-            F=res_f.model, H=res_h.model, E=res_e.model, F_from_E=f_from_e,
-            num_f=res_f.num_inliers, num_h=res_h.num_inliers,
-            num_e=res_e.num_inliers, num_fh=num_fh,
-            mask_f=res_f.inlier_mask, mask_h=res_h.inlier_mask,
-            mask_e=res_e.inlier_mask,
-        )
+        # Pack into THREE output arrays (models, counts, masks): the
+        # device tunnel pays ~30 ms latency per device->host transfer, so
+        # fetching eleven separate results per block dominated the wall.
+        models = jnp.stack([res_f.model, res_h.model, res_e.model,
+                            f_from_e])  # (4, 3, 3)
+        nums = jnp.stack([res_f.num_inliers, res_h.num_inliers,
+                          res_e.num_inliers, num_fh])  # (4,)
+        masks = jnp.stack([res_f.inlier_mask, res_h.inlier_mask,
+                           res_e.inlier_mask], axis=-1)  # (M, 3)
+        return models, nums, masks
 
     return jax.vmap(single)(x1, x2, x1n, x2n, mask, thresh_n)
+
+
+def _unpack_block(models, nums, masks) -> _BlockResult:
+    """Host-side view of the packed block outputs as a _BlockResult."""
+    return _BlockResult(
+        F=models[:, 0], H=models[:, 1], E=models[:, 2], F_from_E=models[:, 3],
+        num_f=nums[:, 0], num_h=nums[:, 1], num_e=nums[:, 2],
+        num_fh=nums[:, 3],
+        mask_f=masks[..., 0], mask_h=masks[..., 1], mask_e=masks[..., 2],
+    )
 
 
 class _PairTask(NamedTuple):
@@ -221,6 +242,36 @@ def estimate_two_view_geometries_batched(
 
     from colmap_tpu.estimators.spherical import is_spherical
 
+    # Batched normalization prepass: ONE device call per (model, bucket)
+    # group instead of one cam_from_img dispatch per image (each dispatch
+    # pays the device-tunnel round trip).
+    unique: Dict[tuple, tuple] = {}
+    for (cam1, pts1, cam2, pts2, _m) in items:
+        for cam, pts in ((cam1, pts1), (cam2, pts2)):
+            k = (id(pts), cam.camera_id)
+            if k not in normalized_cache and k not in unique:
+                if not (is_spherical(cam)):
+                    unique[k] = (cam, np.asarray(pts))
+    groups: Dict[tuple, list] = {}
+    for k, (cam, pts) in unique.items():
+        b = bucket_size(max(len(pts), 1), 256)
+        groups.setdefault(
+            (int(cam.model_id), len(cam.params), b), []
+        ).append((k, cam, pts))
+    for (mid, P, b), members in groups.items():
+        pts_all = np.zeros((len(members), b, 2), dtype=floatx())
+        params = np.stack(
+            [np.asarray(cam.params, dtype=floatx()) for (_k, cam, _p) in members]
+        )
+        for r, (_k, _cam, pts) in enumerate(members):
+            pts_all[r, : len(pts)] = pts
+        uv, _ok = camera_models.cam_from_img(
+            mid, jnp.asarray(params)[:, None, :], jnp.asarray(pts_all)
+        )
+        uv = np.asarray(uv)
+        for r, (k, _cam, pts) in enumerate(members):
+            normalized_cache[k] = uv[r, : len(pts)]
+
     tasks: List[_PairTask] = []
     for i, (cam1, pts1, cam2, pts2, matches) in enumerate(items):
         matches = np.asarray(matches)
@@ -266,22 +317,25 @@ def estimate_two_view_geometries_batched(
         by_bucket.setdefault(bucket_size(len(t.matches), 256), []).append(t)
 
     key = jax.random.PRNGKey(seed)
+    # Two-phase launch/collect: all blocks are prepared and dispatched
+    # first (JAX queues them asynchronously), results are fetched after —
+    # host prep and device compute of different blocks overlap instead of
+    # serializing on one sync per block.
+    launches = []
     for bucket, group in sorted(by_bucket.items()):
         for start in range(0, len(group), max_block_pairs):
             chunk = group[start:start + max_block_pairs]
             B = _pair_block_size(len(chunk), max_block_pairs)
-            x1 = np.zeros((B, bucket, 2), dtype=np.float64)
-            x2 = np.zeros_like(x1)
-            x1n = np.zeros_like(x1)
-            x2n = np.zeros_like(x1)
+            fx = floatx()
+            coords = np.zeros((B, bucket, 8), dtype=fx)
             mask = np.zeros((B, bucket), dtype=bool)
             thr = np.full(B, 1e-3)
             for b, t in enumerate(chunk):
                 m = len(t.matches)
-                x1[b] = pad_rows(t.x1, bucket)
-                x2[b] = pad_rows(t.x2, bucket)
-                x1n[b] = pad_rows(t.x1n, bucket)
-                x2n[b] = pad_rows(t.x2n, bucket)
+                coords[b, :m, 0:2] = t.x1
+                coords[b, :m, 2:4] = t.x2
+                coords[b, :m, 4:6] = t.x1n
+                coords[b, :m, 6:8] = t.x2n
                 mask[b, :m] = True
                 thr[b] = t.thresh_n
             # Unused lanes replicate lane 0 (results discarded). All-zero
@@ -292,21 +346,18 @@ def estimate_two_view_geometries_batched(
             # max_num_trials. Real replicated lanes converge fast and keep
             # the linalg batch well-conditioned.
             for b in range(len(chunk), B):
-                x1[b], x2[b] = x1[0], x2[0]
-                x1n[b], x2n[b] = x1n[0], x2n[0]
+                coords[b] = coords[0]
                 mask[b] = mask[0]
                 thr[b] = thr[0]
-            fx = floatx()
             block = _verify_block(
-                key,
-                jnp.asarray(x1, dtype=fx), jnp.asarray(x2, dtype=fx),
-                jnp.asarray(x1n, dtype=fx), jnp.asarray(x2n, dtype=fx),
-                jnp.asarray(mask), jnp.asarray(thr, dtype=fx),
-                options.ransac,
+                key, jnp.asarray(coords), jnp.asarray(mask),
+                jnp.asarray(thr, dtype=fx), options.ransac,
             )
-            block = jax.tree.map(np.asarray, block)  # one host sync
-            for b, t in enumerate(chunk):
-                out[t.index] = _classify_pair(t, block, b, options, seed)
+            launches.append((chunk, block))
+    for chunk, block in launches:
+        block = _unpack_block(*jax.tree.map(np.asarray, block))
+        for b, t in enumerate(chunk):
+            out[t.index] = _classify_pair(t, block, b, options, seed)
     return out  # type: ignore[return-value]
 
 

@@ -232,17 +232,15 @@ def ransac(
         state = jax.lax.while_loop(cond, body, state)
     else:
         # Chunked trial rounds with one refit between rounds (see
-        # lo_outer_rounds). Round r's inner loop additionally stops at a
-        # static trial watermark so refits happen ~lo_outer_rounds times;
-        # the final round runs to the full budget.
+        # lo_outer_rounds): a fori over rounds whose inner while_loop stops
+        # at a traced trial watermark — ONE compiled loop body plus ONE
+        # refit block, executed lo_outer_rounds times.
         R = max(1, options.lo_outer_rounds)
-        for rnd in range(R):
-            limit = (
-                options.max_num_trials if rnd == R - 1
-                else ((rnd + 1) * options.max_num_trials) // R
-            )
 
-            def cond_r(state, limit=limit):
+        def outer_body(rnd, state):
+            limit = ((rnd + 1) * options.max_num_trials) // R
+
+            def cond_r(state):
                 return (~state[5]) & (state[4] < limit)
 
             state = jax.lax.while_loop(cond_r, body, state)
@@ -252,7 +250,9 @@ def ransac(
                 mask, max_sq, msac,
             )
             done_s = done_s | ~continue_p(r_count, trials_s)
-            state = (key_s, r_model, r_score, r_count, trials_s, done_s)
+            return (key_s, r_model, r_score, r_count, trials_s, done_s)
+
+        state = jax.lax.fori_loop(0, R, outer_body, state)
     key, model, score, count, trials, _done = state
 
     res = residual_fn(jax.tree.map(lambda x: x[None], model))[0]

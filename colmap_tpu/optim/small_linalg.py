@@ -25,6 +25,14 @@ import jax
 import jax.numpy as jnp
 
 
+def bmm_small(a, b):
+    """Batched (..., m, k) @ (..., k, n) for tiny m/k/n as a broadcast
+    multiply-sum. XLA lowers batched tiny dot_generals to an MXU path that
+    runs ~5x slower than this on TPU (a 3x3 batched matmul at 8192 batch
+    measures ~5 ms as dot_general vs ~1 ms as mult-sum)."""
+    return (a[..., :, :, None] * b[..., None, :, :]).sum(-2)
+
+
 @lru_cache(maxsize=None)
 def _round_robin(n: int):
     """Tournament pairing: rounds of disjoint (p, q) index pairs covering
@@ -223,7 +231,7 @@ def nullspace_small(A, k: int):
         vn = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
         v = v / jnp.maximum(vn, 1e-30)
         scale = jnp.where(vn[..., 0] > 1e-30, 2.0, 0.0)[..., None]
-        w = jnp.einsum("...i,...ij->...j", v, B[..., j:, :])
+        w = (v[..., :, None] * B[..., j:, :]).sum(-2)
         B = B.at[..., j:, :].add(
             -scale[..., None, :] * v[..., :, None] * w[..., None, :]
         )
@@ -232,7 +240,7 @@ def nullspace_small(A, k: int):
         jnp.eye(n, dtype=A.dtype), A.shape[:-2] + (n, n)
     )
     for j, v, scale in reversed(refl):
-        w = jnp.einsum("...i,...ij->...j", v, Q[..., j:, :])
+        w = (v[..., :, None] * Q[..., j:, :]).sum(-2)
         Q = Q.at[..., j:, :].add(
             -scale[..., None, :] * v[..., :, None] * w[..., None, :]
         )

@@ -527,19 +527,26 @@ class IncrementalMapper:
         recon.register_frame(image.frame_id)
         self._register_frame_event(image.frame_id)
 
-        # Continue tracks with verified inliers.
+        # Continue tracks with verified inliers (one batched reproj call).
+        jobs = []
         for i in np.nonzero(inlier_mask)[0]:
             p2d_idx, p3d_id = p2d_idxs[i], p3d_ids[i]
             if image.points2D_p3d[p2d_idx] != INVALID_POINT3D:
                 continue
             if p3d_id not in recon.points3D:
                 continue
-            err = self.triangulator._reproj_error_px(
+            jobs.append((p2d_idx, p3d_id))
+        if jobs:
+            errs = self.triangulator._reproj_errors_px(
                 recon.cameras[image.camera_id], pose,
-                recon.points3D[p3d_id].xyz, image.points2D_xy[p2d_idx],
+                np.stack([recon.points3D[p].xyz for (_i, p) in jobs]),
+                np.stack([image.points2D_xy[i] for (i, _p) in jobs]),
             )
-            if err <= options.filter_max_reproj_error:
-                recon.add_observation(p3d_id, TrackElement(image_id, p2d_idx))
+            for (p2d_idx, p3d_id), err in zip(jobs, errs):
+                if err <= options.filter_max_reproj_error:
+                    recon.add_observation(
+                        p3d_id, TrackElement(image_id, p2d_idx)
+                    )
         return True
 
     # ------------------------------------------------------------------
@@ -618,7 +625,10 @@ class IncrementalMapper:
         recon.register_frame(frame.frame_id)
         self._register_frame_event(frame.frame_id)
 
-        # Continue tracks with verified inliers across all frame images.
+        # Continue tracks with verified inliers across all frame images:
+        # group candidates by image and check each group in one batched
+        # reprojection call.
+        by_image: dict = {}
         for i in np.nonzero(inlier_mask)[0]:
             iid, p2d_idx, p3d_id = corrs[i]
             image = recon.images[iid]
@@ -626,12 +636,17 @@ class IncrementalMapper:
                 continue
             if p3d_id not in recon.points3D:
                 continue
-            err = self.triangulator._reproj_error_px(
+            by_image.setdefault(iid, []).append((p2d_idx, p3d_id))
+        for iid, jobs in by_image.items():
+            image = recon.images[iid]
+            errs = self.triangulator._reproj_errors_px(
                 recon.cameras[image.camera_id], recon.cam_from_world(iid),
-                recon.points3D[p3d_id].xyz, image.points2D_xy[p2d_idx],
+                np.stack([recon.points3D[p].xyz for (_i, p) in jobs]),
+                np.stack([image.points2D_xy[i] for (i, _p) in jobs]),
             )
-            if err <= options.filter_max_reproj_error:
-                recon.add_observation(p3d_id, TrackElement(iid, p2d_idx))
+            for (p2d_idx, p3d_id), err in zip(jobs, errs):
+                if err <= options.filter_max_reproj_error:
+                    recon.add_observation(p3d_id, TrackElement(iid, p2d_idx))
         return True
 
     # ------------------------------------------------------------------

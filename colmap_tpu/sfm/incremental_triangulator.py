@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from colmap_tpu.geometry.essential import triangulate_point_dlt
-from colmap_tpu.geometry.triangulation import triangulate_multi_view, triangulation_angle
+from colmap_tpu.geometry.triangulation import triangulate_multi_view
 from colmap_tpu.scene.correspondence_graph import CorrespondenceGraph
 from colmap_tpu.scene.reconstruction import Reconstruction
 from colmap_tpu.scene.types import INVALID_POINT3D, Pose, TrackElement
@@ -64,15 +64,78 @@ class IncrementalTriangulator:
         return np.asarray(uv), np.asarray(ok)
 
     def _reproj_error_px(self, camera, pose: Pose, X, xy) -> float:
-        Xc = pose.apply(np.asarray(X)[None])[0]
-        if Xc[2] <= 0:
-            return np.inf
+        return float(self._reproj_errors_px(
+            camera, pose, np.asarray(X)[None], np.asarray(xy)[None]
+        )[0])
+
+    def _reproj_errors_px(self, camera, pose: Pose, Xs, xys) -> np.ndarray:
+        """Batched reprojection errors: ONE device call for all candidate
+        observations of an image (padded to a power-of-two bucket so the
+        register loop reuses a handful of compiled programs) — the per-
+        observation form costs one dispatch per track candidate, thousands
+        per registration (VERDICT r3 item 6)."""
+        from colmap_tpu.utils.bucketing import bucket_size, pad_rows
+
+        n = len(Xs)
+        if n == 0:
+            return np.zeros(0, dtype=np.float64)
+        Xc = pose.apply(np.asarray(Xs, dtype=np.float64))  # (n, 3) host
+        b = bucket_size(n, 64)
+        Xc_p = pad_rows(Xc, b)
+        Xc_p[n:, 2] = 1.0  # keep padding in front of the camera
         proj, valid = camera_models.img_from_cam(
-            camera.model_id, jnp.asarray(camera.params), jnp.asarray(Xc)
+            camera.model_id, jnp.asarray(camera.params, dtype=floatx()),
+            jnp.asarray(Xc_p, dtype=floatx()),
         )
-        if not bool(valid):
-            return np.inf
-        return float(np.linalg.norm(np.asarray(proj) - xy))
+        err = np.linalg.norm(
+            np.asarray(proj)[:n] - np.asarray(xys), axis=-1
+        )
+        bad = (~np.asarray(valid)[:n]) | (Xc[:, 2] <= 0)
+        err[bad] = np.inf
+        return err
+
+    def _reproj_errors_mixed(self, items) -> np.ndarray:
+        """Reprojection errors for observations under DIFFERENT cameras /
+        poses: one bucketed device call per camera model (params broadcast
+        per row), instead of one dispatch per observation.
+
+        items: sequence of (image_id, p2d_idx, X (3,)).
+        """
+        from colmap_tpu.utils.bucketing import bucket_size, pad_rows
+
+        out = np.full(len(items), np.inf, dtype=np.float64)
+        by_model: Dict[int, List[int]] = {}
+        for idx, (iid, _p2d, _X) in enumerate(items):
+            cam = self.recon.cameras[self.recon.images[iid].camera_id]
+            by_model.setdefault(int(cam.model_id), []).append(idx)
+        for model_id, idxs in by_model.items():
+            n = len(idxs)
+            Xc = np.zeros((n, 3))
+            xys = np.zeros((n, 2))
+            P = len(self.recon.cameras[
+                self.recon.images[items[idxs[0]][0]].camera_id].params)
+            params = np.zeros((n, P))
+            for row, idx in enumerate(idxs):
+                iid, p2d_idx, X = items[idx]
+                img = self.recon.images[iid]
+                Xc[row] = self.recon.cam_from_world(iid).apply(
+                    np.asarray(X)[None])[0]
+                xys[row] = img.points2D_xy[p2d_idx]
+                params[row] = self.recon.cameras[img.camera_id].params
+            b = bucket_size(n, 64)
+            Xc_p = pad_rows(Xc, b)
+            Xc_p[n:, 2] = 1.0
+            params_p = pad_rows(params, b)
+            params_p[n:] = params[0]
+            proj, valid = camera_models.img_from_cam(
+                model_id, jnp.asarray(params_p, dtype=floatx()),
+                jnp.asarray(Xc_p, dtype=floatx()),
+            )
+            err = np.linalg.norm(np.asarray(proj)[:n] - xys, axis=-1)
+            bad = (~np.asarray(valid)[:n]) | (Xc[:, 2] <= 0)
+            err[bad] = np.inf
+            out[idxs] = err
+        return out
 
     # ------------------------------------------------------------------
     def triangulate_image(self, image_id: int, options: Optional[TriangulatorOptions] = None) -> int:
@@ -117,15 +180,26 @@ class IncrementalTriangulator:
                     (p2d_idx, [rc for rc, p in zip(reg_corrs, p3d_ids) if p == INVALID_POINT3D])
                 )
 
-        # Continue tracks: check reprojection error of the candidate point.
-        for (p2d_idx, p3d_id) in continue_jobs:
-            if p3d_id not in self.recon.points3D:
-                continue
-            X = self.recon.points3D[p3d_id].xyz
-            err = self._reproj_error_px(camera, pose, X, image.points2D_xy[p2d_idx])
-            if err <= options.merge_max_reproj_error_px:
-                self.recon.add_observation(p3d_id, TrackElement(image_id, p2d_idx))
-                num_tris += 1
+        # Continue tracks: check reprojection errors of the candidate
+        # points in ONE batched device call.
+        live_jobs = [
+            (p2d_idx, p3d_id) for (p2d_idx, p3d_id) in continue_jobs
+            if p3d_id in self.recon.points3D
+        ]
+        if live_jobs:
+            Xs = np.stack([
+                self.recon.points3D[p].xyz for (_i, p) in live_jobs
+            ])
+            xys = np.stack([
+                image.points2D_xy[i] for (i, _p) in live_jobs
+            ])
+            errs = self._reproj_errors_px(camera, pose, Xs, xys)
+            for (p2d_idx, p3d_id), err in zip(live_jobs, errs):
+                if err <= options.merge_max_reproj_error_px:
+                    self.recon.add_observation(
+                        p3d_id, TrackElement(image_id, p2d_idx)
+                    )
+                    num_tris += 1
 
         # Create new tracks by multi-view triangulation.
         num_tris += self._create_points(image_id, create_jobs, options)
@@ -250,17 +324,18 @@ class IncrementalTriangulator:
             ):
                 continue
             # Pairwise max triangulation angle must exceed the minimum.
+            # Host numpy: a device call per (i, j) pair cost ~V^2 dispatches
+            # per created point.
             centers_ok = np.stack([c for (_, c) in ok_elements])
-            max_angle = 0.0
-            for i in range(len(centers_ok)):
-                for j in range(i + 1, len(centers_ok)):
-                    ang = float(
-                        triangulation_angle(
-                            jnp.asarray(centers_ok[i]), jnp.asarray(centers_ok[j]),
-                            jnp.asarray(Xb),
-                        )
-                    )
-                    max_angle = max(max_angle, ang)
+            rays = Xb[None, :] - centers_ok
+            rays /= np.maximum(
+                np.linalg.norm(rays, axis=-1, keepdims=True), 1e-30
+            )
+            cosang = np.clip(rays @ rays.T, -1.0, 1.0)
+            ang = np.arccos(cosang)
+            # Triangulation angle is the acute angle (triangulation.cc).
+            ang = np.minimum(ang, np.pi - ang)
+            max_angle = float(np.max(ang))
             if np.rad2deg(max_angle) < options.min_angle_deg:
                 continue
             # Some elements may have been claimed by an earlier row.
@@ -300,22 +375,30 @@ class IncrementalTriangulator:
         num_added = 0
         queue = list(point.track)
         seen = set((el.image_id, el.point2D_idx) for el in queue)
+        # Wave-batched BFS: gather every candidate of the current queue,
+        # check all reprojection errors in one (per-model) device call,
+        # then expand from the accepted ones.
         while queue:
-            el = queue.pop()
-            for (oid, oidx) in self.graph.find_correspondences(el.image_id, el.point2D_idx):
-                oid, oidx = int(oid), int(oidx)
-                if (oid, oidx) in seen:
-                    continue
-                seen.add((oid, oidx))
-                if not self.recon.is_image_registered(oid):
-                    continue
-                oimg = self.recon.images[oid]
-                if oimg.points2D_p3d[oidx] != INVALID_POINT3D:
-                    continue
-                _, ocam, opose = self._cam_data(oid)
-                err = self._reproj_error_px(
-                    ocam, opose, point.xyz, oimg.points2D_xy[oidx]
-                )
+            wave = []
+            for el in queue:
+                for (oid, oidx) in self.graph.find_correspondences(
+                    el.image_id, el.point2D_idx
+                ):
+                    oid, oidx = int(oid), int(oidx)
+                    if (oid, oidx) in seen:
+                        continue
+                    seen.add((oid, oidx))
+                    if not self.recon.is_image_registered(oid):
+                        continue
+                    oimg = self.recon.images[oid]
+                    if oimg.points2D_p3d[oidx] != INVALID_POINT3D:
+                        continue
+                    wave.append((oid, oidx, point.xyz))
+            queue = []
+            if not wave:
+                break
+            errs = self._reproj_errors_mixed(wave)
+            for (oid, oidx, _X), err in zip(wave, errs):
                 if err <= options.complete_max_reproj_error_px:
                     self.recon.add_observation(p3d_id, TrackElement(oid, oidx))
                     queue.append(TrackElement(oid, oidx))
@@ -341,21 +424,14 @@ class IncrementalTriangulator:
             p2 = self.recon.points3D[other_id]
             n1, n2 = len(p1.track), len(p2.track)
             merged_xyz = (n1 * p1.xyz + n2 * p2.xyz) / (n1 + n2)
-            # Accept merge only if all observations stay within threshold.
-            ok = True
-            for pt in (p1, p2):
-                for el in pt.track:
-                    img = self.recon.images[el.image_id]
-                    cam = self.recon.cameras[img.camera_id]
-                    pose = self.recon.cam_from_world(el.image_id)
-                    err = self._reproj_error_px(
-                        cam, pose, merged_xyz, img.points2D_xy[el.point2D_idx]
-                    )
-                    if err > options.merge_max_reproj_error_px:
-                        ok = False
-                        break
-                if not ok:
-                    break
+            # Accept merge only if all observations stay within threshold
+            # (one batched reprojection call over both tracks).
+            items = [
+                (el.image_id, el.point2D_idx, merged_xyz)
+                for pt in (p1, p2) for el in pt.track
+            ]
+            errs = self._reproj_errors_mixed(items)
+            ok = bool(np.all(errs <= options.merge_max_reproj_error_px))
             if ok:
                 self.recon.merge_points3D(p3d_id, other_id)
                 return n1 + n2
