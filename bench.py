@@ -132,6 +132,7 @@ def main():
         (rt.bench_matching, 180),
         (rt.bench_verification, 300),
         (rt.bench_extraction, 240),
+        (rt.bench_retrieval_1k, 300),
         (rt.bench_evaluate_auc, 420),
         (rt.bench_incremental_mapping, 420),
         (rt.bench_ba_sharded_scaling, 420),

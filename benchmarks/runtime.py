@@ -435,7 +435,73 @@ def bench_evaluate_auc(num_frames: int = 12, num_points: int = 200) -> Dict:
     }
 
 
+def bench_retrieval_1k(n_images: int = 1000, n_feat: int = 512,
+                       n_clusters: int = 50, branching: int = 10,
+                       depth: int = 4, num_neighbors: int = 10) -> Dict:
+    """Vocab-tree retrieval at the 1k-image unordered scale (BASELINE
+    config #3; reference: retrieval/visual_index.h:52-120 +
+    VocabTreePairGenerator). Synthetic corpus: n_clusters scenes of
+    overlapping images; each image samples its scene's descriptor pool
+    with noise. Records tree-build + pairing wall and precision@k against
+    the scene ground truth."""
+    from colmap_tpu.retrieval.visual_index import (
+        VisualIndex, build_vocabulary_tree, rank_images_bow,
+    )
+
+    rng = np.random.default_rng(0)
+    pts_per_cluster = 4 * n_feat
+    cluster_of = np.repeat(
+        np.arange(n_clusters), -(-n_images // n_clusters)
+    )[:n_images]
+    pools = rng.integers(
+        0, 256, (n_clusters, pts_per_cluster, 128)
+    ).astype(np.float32)
+    descs = {}
+    for i in range(n_images):
+        sel = rng.choice(pts_per_cluster, n_feat, replace=False)
+        d = pools[cluster_of[i], sel] + rng.normal(0, 12.0, (n_feat, 128))
+        descs[i] = np.clip(d, 0, 255).astype(np.float32)
+
+    train = np.concatenate(
+        [descs[i] for i in rng.choice(n_images, 200, replace=False)]
+    )
+    t0 = time.perf_counter()
+    tree = build_vocabulary_tree(
+        train, branching=branching, depth=depth, num_iterations=5,
+        max_samples_per_node=256,
+    )
+    t_build = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    ranked = rank_images_bow(descs, VisualIndex(tree),
+                             num_neighbors=num_neighbors)
+    t_rank = time.perf_counter() - t0
+
+    hits = 0
+    total = 0
+    for iid, results in ranked.items():
+        for r in results[:num_neighbors]:
+            hits += int(cluster_of[r.image_id] == cluster_of[iid])
+            total += 1
+    precision = hits / max(total, 1)
+    return {
+        "metric": f"retrieval_precision_at_{num_neighbors}_{n_images}img",
+        "value": round(precision, 4),
+        "unit": "precision",
+        "detail": {
+            "tree_words": branching ** depth,
+            "tree_build_s": round(t_build, 2),
+            "pairing_s": round(t_rank, 2),
+            "images_per_s": round(n_images / t_rank, 2),
+            "chance_precision": round(
+                (np.bincount(cluster_of)[0] - 1) / (n_images - 1), 4
+            ),
+        },
+    }
+
+
 ALL_BENCHES = [
+    bench_retrieval_1k,
     bench_ba_packed,
     bench_ba_sharded_scaling,
     bench_extraction,

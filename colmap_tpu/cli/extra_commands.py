@@ -187,20 +187,33 @@ def _load_or_train_index(vocab_tree_path, desc_by_image, num_words=256):
             vocab = data["vocabulary"]
         index = VisualIndex(vocab)
     else:
+        from colmap_tpu.retrieval.visual_index import (
+            default_vocab_tree_path, load_vocab_tree,
+        )
+
+        shipped = default_vocab_tree_path()
         if vocab_tree_path:
             from colmap_tpu.utils import logging
 
             logging.warning(
-                "vocab tree file %s not found; training a small flat "
-                "vocabulary on the fly (retrieval quality will differ)",
+                "vocab tree file %s not found; falling back to the %s",
                 vocab_tree_path,
+                "shipped small tree" if shipped
+                else "on-the-fly flat vocabulary",
             )
-        all_desc = np.concatenate([d for d in desc_by_image.values() if len(d)])
-        rng = np.random.default_rng(0)
-        sub = all_desc[
-            rng.choice(len(all_desc), min(len(all_desc), 20000), replace=False)
-        ]
-        index = VisualIndex.create(sub, num_words=num_words)
+        if shipped:
+            index = VisualIndex(load_vocab_tree(shipped))
+        else:
+            all_desc = np.concatenate(
+                [d for d in desc_by_image.values() if len(d)]
+            )
+            rng = np.random.default_rng(0)
+            sub = all_desc[
+                rng.choice(
+                    len(all_desc), min(len(all_desc), 20000), replace=False
+                )
+            ]
+            index = VisualIndex.create(sub, num_words=num_words)
     for iid, d in desc_by_image.items():
         index.add(iid, d)
     return index

@@ -1214,24 +1214,96 @@ def lm_solve_fused_packed(problem: BAProblem, maps: PackedMaps, model_id: int,
     return _lm_solve_fused_packed(problem, maps, model_id, options, masks)
 
 
+def _bucket_fine(n: int, minimum: int = 2) -> int:
+    """Geometric shape bucket with ~33% max waste: {m, 1.5m, 2m, 3m, ...}.
+
+    Coarser than exact shapes (bounds XLA compiles to O(log n) per call
+    site — the incremental mapper's local BAs otherwise compile a fresh
+    LM program per registration at ~30 s each on the remote compiler),
+    finer than powers of two (a pure pow2 bucket wastes up to 2x BA
+    compute on padding)."""
+    b = max(minimum, 2)
+    while b < n:
+        b2 = b + b // 2
+        if b2 >= n:
+            return b2
+        b *= 2
+    return b
+
+
+def _pad_problem_buckets(problem: BAProblem, masks: BAMasks):
+    """Pad frame/point counts to fine buckets. Padded frames carry the
+    identity quaternion and zero masks; padded points carry zero masks and
+    no observations — their residual/Jacobian contributions are exactly
+    zero, so results match the unpadded solve."""
+    F = int(problem.quat.shape[0])
+    N = int(problem.points.shape[0])
+    F_pad = _bucket_fine(F, 4)
+    N_pad = _bucket_fine(N, 64)
+    if F_pad == F and N_pad == N:
+        return problem, masks, (F, N)
+    dtype = problem.points.dtype
+    quat = jnp.concatenate([
+        problem.quat,
+        jnp.tile(jnp.asarray([1.0, 0, 0, 0], dtype), (F_pad - F, 1)),
+    ]) if F_pad != F else problem.quat
+    t = jnp.concatenate([
+        problem.t, jnp.zeros((F_pad - F, 3), dtype)
+    ]) if F_pad != F else problem.t
+    points = jnp.concatenate([
+        problem.points, jnp.zeros((N_pad - N, 3), dtype)
+    ]) if N_pad != N else problem.points
+    problem = problem._replace(quat=quat, t=t, points=points)
+    masks = masks._replace(
+        frame_mask=jnp.concatenate([
+            masks.frame_mask, jnp.zeros(F_pad - F, dtype)
+        ]) if F_pad != F else masks.frame_mask,
+        frame_trans_mask=jnp.concatenate([
+            masks.frame_trans_mask, jnp.zeros((F_pad - F, 3), dtype)
+        ]) if F_pad != F else masks.frame_trans_mask,
+        point_mask=jnp.concatenate([
+            masks.point_mask, jnp.zeros(N_pad - N, dtype)
+        ]) if N_pad != N else masks.point_mask,
+    )
+    return problem, masks, (F, N)
+
+
 def solve_packed(problem: BAProblem, model_id: int,
                  options: Optional[BAOptions] = None,
-                 masks: Optional[BAMasks] = None):
+                 masks: Optional[BAMasks] = None,
+                 bucket_shapes: bool = True):
     """Pack + solve + unpack. Parameters keep their layout (only the
     observation arrays are permuted internally), so results drop into the
-    same write-back paths as solve()."""
+    same write-back paths as solve(). bucket_shapes pads frame/point/capp
+    sizes to fine buckets so repeated calls at drifting sizes (the
+    incremental register loop) reuse compiled programs."""
     if options is None:
         options = BAOptions()
     if masks is None:
         masks = default_masks(problem, model_id, options)
-    packed, maps, _ = pack_problem(problem)
+    F0 = int(problem.quat.shape[0])
+    N0 = int(problem.points.shape[0])
+    capp_kw = {}
+    if bucket_shapes:
+        problem, masks, (F0, N0) = _pad_problem_buckets(problem, masks)
+        import numpy as _np
+
+        counts_p = _np.bincount(
+            _np.asarray(problem.obs_point),
+            minlength=problem.points.shape[0],
+        )
+        capp_kw["capp"] = _bucket_fine(int(counts_p.max(initial=1)), 2)
+    packed, maps, _ = pack_problem(problem, **capp_kw)
     initial_cost = float(compute_cost(packed, model_id, options))
     solved, final_cost, n_iters = lm_solve_fused_packed(
         packed, maps, model_id, options, masks
     )
     out = problem._replace(
-        quat=solved.quat, t=solved.t,
-        cam_params=solved.cam_params, points=solved.points,
+        quat=solved.quat[:F0], t=solved.t[:F0],
+        cam_params=solved.cam_params, points=solved.points[:N0],
+        obs_frame=problem.obs_frame, obs_cam=problem.obs_cam,
+        obs_point=problem.obs_point, obs_xy=problem.obs_xy,
+        obs_w=problem.obs_w,
     )
     return out, {
         "initial_cost": initial_cost,

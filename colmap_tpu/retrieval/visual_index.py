@@ -167,10 +167,23 @@ class TreeVocabulary:
         lv = self.levels[-1]
         return lv.reshape(-1, lv.shape[-1])
 
-    def assign(self, desc: np.ndarray) -> np.ndarray:
-        d = jnp.asarray(np.asarray(desc, dtype=np.float32))
+    def assign(self, desc: np.ndarray, chunk: int = 65536) -> np.ndarray:
+        """Leaf word ids for desc (N, D); chunked so the per-level
+        (N, branching, D) centroid gathers stay within a memory budget at
+        corpus scale (1M descriptors x 10 x 128 f32 would be ~5 GB)."""
+        desc = np.asarray(desc, dtype=np.float32)
         levels = tuple(jnp.asarray(lv) for lv in self.levels)
-        return np.asarray(_tree_descend_jit(d, levels))
+        if len(desc) <= chunk:
+            return np.asarray(_tree_descend_jit(jnp.asarray(desc), levels))
+        out = np.empty(len(desc), dtype=np.int32)
+        for s in range(0, len(desc), chunk):
+            block = np.zeros((chunk, desc.shape[1]), np.float32)
+            n = min(chunk, len(desc) - s)
+            block[:n] = desc[s: s + n]
+            out[s: s + n] = np.asarray(
+                _tree_descend_jit(jnp.asarray(block), levels)
+            )[:n]
+        return out
 
 
 def build_vocabulary_tree(
@@ -397,6 +410,99 @@ class VisualIndex:
         ]
 
 
+def default_vocab_tree_path() -> Optional[str]:
+    """Path of the shipped small vocabulary tree (8^3 = 512 words, trained
+    on SIFT descriptors of rendered synthetic scenes). The reference
+    downloads pretrained trees at runtime (retrieval/resources.cc); this
+    environment has no egress, so a small in-repo tree is the fallback
+    when the user supplies none."""
+    import os
+
+    p = os.path.join(os.path.dirname(__file__), "..", "data",
+                     "vocab_tree_small.npz")
+    p = os.path.normpath(p)
+    return p if os.path.exists(p) else None
+
+
+def load_vocab_tree(path: str) -> TreeVocabulary:
+    """Load a vocabulary tree saved by the vocab_tree_builder CLI
+    (level_<i> arrays in an .npz)."""
+    data = np.load(path)
+    n_levels = sum(1 for k in data.files if k.startswith("level_"))
+    return TreeVocabulary([data[f"level_{i}"] for i in range(n_levels)])
+
+
+def rank_images_bow(
+    descs_by_image: Dict[int, np.ndarray],
+    vocabulary,
+    num_neighbors: int = 10,
+    assign_chunk: int = 65536,
+) -> Dict[int, List[QueryResult]]:
+    """All-vs-all TF-IDF bag-of-words retrieval as ONE device matmul.
+
+    The inverted-file walk in VisualIndex.query is a per-posting Python
+    loop — right for a handful of queries, hopeless at corpus scale. The
+    TPU-native corpus formulation: quantize every image's descriptors to
+    leaf words (chunked tree descent), build the (n_images, num_words)
+    idf-weighted L2-normalized histogram matrix, and score all pairs with
+    one MXU matmul S = W W^T (reference scoring model:
+    retrieval/vote_and_verify.cc TF-IDF ranking; Nister-Stewenius BoW).
+
+    Returns {image_id: [QueryResult ranked]}.
+    """
+    index = (
+        vocabulary if isinstance(vocabulary, VisualIndex)
+        else VisualIndex(vocabulary)
+    )
+    ids = sorted(descs_by_image.keys())
+    n_img = len(ids)
+    num_words = index.num_words
+    W = np.zeros((n_img, num_words), dtype=np.float32)
+    offsets = []
+    all_desc = []
+    for iid in ids:
+        d = np.asarray(descs_by_image[iid], dtype=np.float32)
+        offsets.append(len(d))
+        if len(d):
+            all_desc.append(d)
+    if not all_desc:
+        return {iid: [] for iid in ids}
+    words = (
+        index.tree.assign(np.concatenate(all_desc), chunk=assign_chunk)
+        if index.tree is not None
+        else index._assign(np.concatenate(all_desc))
+    )
+    pos = 0
+    for row, n in enumerate(offsets):
+        if n:
+            W[row] = np.bincount(
+                words[pos: pos + n], minlength=num_words
+            ).astype(np.float32)
+            pos += n
+    df = np.maximum((W > 0).sum(axis=0), 1)
+    idf = np.log(max(n_img, 1) / df).astype(np.float32) + 1e-6
+    W *= idf[None, :]
+    W /= np.maximum(np.linalg.norm(W, axis=1, keepdims=True), 1e-12)
+    S = np.array(
+        jax.jit(lambda w: w @ w.T)(jnp.asarray(W))
+    )  # np.array: writable copy (np.asarray of a jax array is read-only)
+    np.fill_diagonal(S, -np.inf)
+    k = min(num_neighbors, n_img - 1)
+    topk = np.argpartition(-S, k - 1, axis=1)[:, :k] if k > 0 else None
+    out: Dict[int, List[QueryResult]] = {}
+    for row, iid in enumerate(ids):
+        if k <= 0:
+            out[iid] = []
+            continue
+        cand = topk[row]
+        cand = cand[np.argsort(-S[row, cand])]
+        out[iid] = [
+            QueryResult(ids[c], float(S[row, c]))
+            for c in cand if np.isfinite(S[row, c])
+        ]
+    return out
+
+
 def vocab_tree_pairs(
     descriptors_by_image: Dict[int, np.ndarray],
     num_words: int = 256,
@@ -411,12 +517,24 @@ def vocab_tree_pairs(
     rng = np.random.default_rng(seed)
     sub = all_desc[rng.choice(len(all_desc), min(len(all_desc), 20000), replace=False)]
     index = VisualIndex.create(sub, num_words=num_words, seed=seed)
-    for iid, desc in descriptors_by_image.items():
-        index.add(iid, desc)
-    pairs = set()
     from colmap_tpu.utils.types import image_pair_to_pair_id
 
+    pairs = set()
     out = []
+    if len(descriptors_by_image) > 50:
+        # Corpus scale: batched BoW matmul ranking (see rank_images_bow).
+        ranked = rank_images_bow(
+            descriptors_by_image, index, num_neighbors=num_neighbors
+        )
+        for iid, results in ranked.items():
+            for r in results:
+                key = image_pair_to_pair_id(iid, r.image_id)
+                if key not in pairs:
+                    pairs.add(key)
+                    out.append((min(iid, r.image_id), max(iid, r.image_id)))
+        return out
+    for iid, desc in descriptors_by_image.items():
+        index.add(iid, desc)
     for iid, desc in descriptors_by_image.items():
         for r in index.query(desc, num_neighbors, exclude_image_id=iid):
             key = image_pair_to_pair_id(iid, r.image_id)

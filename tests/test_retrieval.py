@@ -180,3 +180,88 @@ def test_tree_index_retrieval_parity():
     q = np.clip(images[3] + rng.normal(0, 2.0, images[3].shape), 0, 255)
     res = index.query(q, num_images=3)
     assert res and res[0].image_id == 3
+
+
+def test_rank_images_bow_corpus_scale():
+    """Batched BoW matmul ranking retrieves cluster-mates at corpus scale
+    (the TPU-native path behind vocab_tree_pairs for >50 images;
+    reference scoring model: retrieval TF-IDF ranking)."""
+    from colmap_tpu.retrieval.visual_index import (
+        VisualIndex, build_vocabulary_tree, rank_images_bow,
+    )
+
+    rng = np.random.default_rng(0)
+    n_images, n_feat, n_clusters = 120, 64, 6
+    pools = rng.integers(0, 256, (n_clusters, 256, 128)).astype(np.float32)
+    cluster_of = np.repeat(np.arange(n_clusters), n_images // n_clusters)
+    descs = {}
+    for i in range(n_images):
+        sel = rng.choice(256, n_feat, replace=False)
+        d = pools[cluster_of[i], sel] + rng.normal(0, 10.0, (n_feat, 128))
+        descs[i] = np.clip(d, 0, 255).astype(np.float32)
+    train = np.concatenate([descs[i] for i in range(0, n_images, 3)])
+    tree = build_vocabulary_tree(train, branching=8, depth=3,
+                                 num_iterations=4, max_samples_per_node=128)
+    ranked = rank_images_bow(descs, VisualIndex(tree), num_neighbors=5)
+    hits = total = 0
+    for iid, results in ranked.items():
+        assert len(results) == 5
+        for r in results:
+            hits += int(cluster_of[r.image_id] == cluster_of[iid])
+            total += 1
+    assert hits / total > 0.9  # chance would be ~0.16
+
+
+def test_vocab_tree_pairs_batched_path_connects_clusters():
+    from colmap_tpu.retrieval.visual_index import vocab_tree_pairs
+
+    rng = np.random.default_rng(1)
+    n_images, n_feat = 60, 48  # > 50 -> batched BoW path
+    pools = rng.integers(0, 256, (3, 128, 128)).astype(np.float32)
+    cluster_of = np.repeat(np.arange(3), 20)
+    descs = {}
+    for i in range(n_images):
+        sel = rng.choice(128, n_feat, replace=False)
+        descs[i] = np.clip(
+            pools[cluster_of[i], sel] + rng.normal(0, 8.0, (n_feat, 128)),
+            0, 255,
+        ).astype(np.float32)
+    pairs = vocab_tree_pairs(descs, num_words=128, num_neighbors=4)
+    assert len(pairs) > 0
+    same = sum(1 for (a, b) in pairs if cluster_of[a] == cluster_of[b])
+    assert same / len(pairs) > 0.9
+
+
+def test_shipped_vocab_tree_fixture():
+    """The in-repo pretrained tree loads and retrieves (the reference
+    downloads its trees at runtime, retrieval/resources.cc; this repo
+    ships a small synthetic-trained one for egress-free environments)."""
+    from colmap_tpu.retrieval.visual_index import (
+        VisualIndex, default_vocab_tree_path, load_vocab_tree,
+        rank_images_bow,
+    )
+
+    path = default_vocab_tree_path()
+    assert path is not None, "fixture colmap_tpu/data/vocab_tree_small.npz missing"
+    tree = load_vocab_tree(path)
+    assert tree.num_words == 512
+    rng = np.random.default_rng(3)
+    pools = rng.integers(0, 256, (4, 128, 128)).astype(np.float32)
+    cluster_of = np.repeat(np.arange(4), 15)
+    descs = {}
+    for i in range(60):
+        sel = rng.choice(128, 32, replace=False)
+        descs[i] = np.clip(
+            pools[cluster_of[i], sel] + rng.normal(0, 8.0, (32, 128)),
+            0, 255,
+        ).astype(np.float32)
+    ranked = rank_images_bow(descs, VisualIndex(tree), num_neighbors=5)
+    hits = total = 0
+    for iid, results in ranked.items():
+        for r in results:
+            hits += int(cluster_of[r.image_id] == cluster_of[iid])
+            total += 1
+    # Uniform-random test descriptors sit far off the SIFT manifold the
+    # tree was trained on, so quantization is coarse; well above the 0.25
+    # chance rate still demonstrates the fixture loads and discriminates.
+    assert hits / total > 0.5
