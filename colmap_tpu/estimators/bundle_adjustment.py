@@ -1215,18 +1215,18 @@ def lm_solve_fused_packed(problem: BAProblem, maps: PackedMaps, model_id: int,
 
 
 def _bucket_fine(n: int, minimum: int = 2) -> int:
-    """Geometric shape bucket with ~33% max waste: {m, 1.5m, 2m, 3m, ...}.
+    """Power-of-two shape bucket (floor `minimum`).
 
-    Coarser than exact shapes (bounds XLA compiles to O(log n) per call
-    site — the incremental mapper's local BAs otherwise compile a fresh
-    LM program per registration at ~30 s each on the remote compiler),
-    finer than powers of two (a pure pow2 bucket wastes up to 2x BA
-    compute on padding)."""
+    Bounds XLA compiles to O(log n) per call site — the incremental
+    mapper's local BAs otherwise compile a fresh LM program per
+    registration at ~25 s each. Pure pow2 (rather than 1.5x stops)
+    costs up to 2x padded BA compute, but on the tiny per-registration
+    problems the mapper solves, an extra compile (25 s) dwarfs the padded
+    compute (milliseconds on the MXU); fewer, coarser buckets win
+    wall-clock outright (measured r5: 10 distinct LM compiles = 205 s of
+    a 15-frame mapping run)."""
     b = max(minimum, 2)
     while b < n:
-        b2 = b + b // 2
-        if b2 >= n:
-            return b2
         b *= 2
     return b
 
@@ -1238,7 +1238,7 @@ def _pad_problem_buckets(problem: BAProblem, masks: BAMasks):
     zero, so results match the unpadded solve."""
     F = int(problem.quat.shape[0])
     N = int(problem.points.shape[0])
-    F_pad = _bucket_fine(F, 4)
+    F_pad = _bucket_fine(F, 8)
     N_pad = _bucket_fine(N, 64)
     if F_pad == F and N_pad == N:
         return problem, masks, (F, N)
@@ -1268,6 +1268,128 @@ def _pad_problem_buckets(problem: BAProblem, masks: BAMasks):
     return problem, masks, (F, N)
 
 
+# ---------------------------------------------------------------------------
+# Background compile warming.
+#
+# XLA compiles of the fused LM program cost ~25 s each (remote compiler on
+# the tunneled TPU; similar locally). The incremental mapper's problem
+# sizes grow monotonically through a known ladder of pow2 buckets, so the
+# NEXT bucket along each axis is predictable: compile it on a background
+# thread while the foreground registers images with the current bucket's
+# program. jit dispatch is thread-safe; a warm call populates the same
+# in-process executable cache (and the persistent cache) the foreground
+# lookup hits.
+
+_WARM_POOL = None
+_WARM_SEEN: set = set()
+# key -> Future of the in-flight warm compile. A foreground solve_packed
+# whose program is being warmed WAITS on the future instead of launching a
+# duplicate compile of the same program (jit does not dedup concurrent
+# compiles of one signature, and duplicate requests also contend on the
+# remote compile service).
+_WARM_FUTURES: dict = {}
+
+
+def _warm_key(F, N, capp, C, P, model_id, options, dtype):
+    return (F, N, capp, C, P, model_id, hash(options), str(dtype))
+
+
+def _warm_pool():
+    global _WARM_POOL
+    if _WARM_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _WARM_POOL = ThreadPoolExecutor(
+            max_workers=3, thread_name_prefix="ba-warm"
+        )
+    return _WARM_POOL
+
+
+def warm_packed_solver(F: int, N: int, capp: int, C: int, P: int,
+                       model_id, options: BAOptions, dtype) -> None:
+    """Compile (and cache) the fused packed LM program for one shape bucket
+    by running it on an all-zero problem. Zero obs_w/masks make every step
+    a rejected no-op, so the while_loop terminates after ~9 iterations of
+    trivial device work; the compile is the point."""
+    import numpy as _np
+
+    Opm = N * capp
+    quat = jnp.tile(jnp.asarray([1.0, 0, 0, 0], dtype=dtype), (F, 1))
+    problem = BAProblem(
+        quat=quat,
+        t=jnp.zeros((F, 3), dtype=dtype),
+        cam_params=jnp.ones((C, P), dtype=dtype),
+        points=jnp.zeros((N, 3), dtype=dtype),
+        obs_frame=jnp.zeros(Opm, dtype=jnp.int32),
+        obs_cam=jnp.zeros(Opm, dtype=jnp.int32),
+        obs_point=jnp.asarray(
+            _np.repeat(_np.arange(N, dtype=_np.int32), capp)
+        ),
+        obs_xy=jnp.zeros((Opm, 2), dtype=dtype),
+        obs_w=jnp.zeros(Opm, dtype=dtype),
+    )
+    maps = PackedMaps(
+        frame_pm=jnp.zeros((N, capp), dtype=jnp.int32),
+        cam_pm=jnp.zeros((N, capp), dtype=jnp.int32),
+    )
+    masks = BAMasks(
+        frame_mask=jnp.zeros(F, dtype=dtype),
+        frame_trans_mask=jnp.zeros((F, 3), dtype=dtype),
+        cam_mask=jnp.zeros((C, P), dtype=dtype),
+        point_mask=jnp.zeros(N, dtype=dtype),
+    )
+    compute_cost(problem, model_id, options)
+    lm_solve_fused_packed(problem, maps, model_id, options, masks)
+
+
+def warm_packed_solver_async(F: int, N: int, capp: int, C: int, P: int,
+                             model_id, options: BAOptions, dtype) -> None:
+    """Schedule warm_packed_solver on the background pool (deduplicated)."""
+    import os as _os
+
+    if _os.environ.get("COLMAP_TPU_NO_WARM"):
+        return
+    try:
+        key = _warm_key(F, N, capp, C, P, model_id, options, dtype)
+    except TypeError:
+        return
+    if key in _WARM_SEEN:
+        return
+    _WARM_SEEN.add(key)
+
+    def job():
+        try:
+            warm_packed_solver(F, N, capp, C, P, model_id, options, dtype)
+        except Exception:
+            pass  # warms are best-effort; the foreground compiles anyway
+
+    _WARM_FUTURES[key] = _warm_pool().submit(job)
+
+
+def _schedule_neighbor_warms(F: int, N: int, capp: int, C: int, P: int,
+                             model_id, options: BAOptions, dtype,
+                             max_frames: Optional[int] = None) -> None:
+    """Warm the growth-adjacent buckets of (F, N, capp): the incremental
+    register loop only ever moves to a doubled bucket along some axis."""
+    try:
+        # The current bucket is being compiled by the foreground call;
+        # never waste a background worker re-warming it.
+        _WARM_SEEN.add(
+            (F, N, capp, C, P, model_id, hash(options), str(dtype))
+        )
+    except TypeError:
+        pass
+    F2 = F * 2 if (max_frames is None or F < _bucket_fine(max_frames, 8)) \
+        else F
+    for nf, nn, nc in (
+        (F2, N, capp), (F, N * 2, capp), (F2, N * 2, capp),
+        (F, N, capp * 2), (F, N * 2, capp * 2), (F2, N * 2, capp * 2),
+    ):
+        if (nf, nn, nc) != (F, N, capp):
+            warm_packed_solver_async(nf, nn, nc, C, P, model_id, options,
+                                     dtype)
+
+
 def solve_packed(problem: BAProblem, model_id: int,
                  options: Optional[BAOptions] = None,
                  masks: Optional[BAMasks] = None,
@@ -1292,7 +1414,22 @@ def solve_packed(problem: BAProblem, model_id: int,
             _np.asarray(problem.obs_point),
             minlength=problem.points.shape[0],
         )
-        capp_kw["capp"] = _bucket_fine(int(counts_p.max(initial=1)), 2)
+        capp_kw["capp"] = _bucket_fine(int(counts_p.max(initial=1)), 8)
+        C, P = problem.cam_params.shape
+        shape_args = (
+            int(problem.quat.shape[0]), int(problem.points.shape[0]),
+            capp_kw["capp"], int(C), int(P), model_id, options,
+            problem.points.dtype,
+        )
+        # If a background warm of exactly this program is in flight, wait
+        # for it — the subsequent jit lookup is then a cache hit.
+        try:
+            fut = _WARM_FUTURES.get(_warm_key(*shape_args))
+        except TypeError:
+            fut = None
+        if fut is not None:
+            fut.result()
+        _schedule_neighbor_warms(*shape_args)
     packed, maps, _ = pack_problem(problem, **capp_kw)
     initial_cost = float(compute_cost(packed, model_id, options))
     solved, final_cost, n_iters = lm_solve_fused_packed(

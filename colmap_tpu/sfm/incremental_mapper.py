@@ -48,6 +48,120 @@ from colmap_tpu.utils.types import SensorType
 from colmap_tpu.utils.dtypes import floatx
 
 
+# One canonical solver envelope for EVERY pipeline BA call site (init /
+# local / global). BAOptions is a static jit argument of the fused LM
+# program, so each distinct options instance compiles a separate ~25 s
+# XLA program per shape bucket; sharing one envelope collapses the three
+# historical variants (30/30, 25/25, 50/50) into one compile per bucket.
+# The while_loop exits early on function_tolerance, so a generous
+# max_iterations costs nothing on converged solves.
+PIPELINE_BA_OPTIONS = ba.BAOptions(
+    max_iterations=50, pcg_iterations=30, loss="cauchy", loss_scale=1.0
+)
+
+
+def warm_pipeline_programs_async(cache: DatabaseCache,
+                                 options: "IncrementalMapperOptions") -> None:
+    """Background-compile the register loop's hot XLA programs.
+
+    The mapper's wall-clock on a cold process is dominated by serial
+    first-use compiles (~25 s fused LM, ~1 min initial-pair RANSAC via the
+    remote compiler). All of them have predictable shapes: pow2 buckets
+    keyed by scene size. Scheduling them on the BA warm pool at pipeline
+    start overlaps compilation with host-side DB/graph work and with each
+    other, cutting the serial-compile critical path to ~the single largest
+    program. Best-effort: any failure just falls back to foreground
+    compilation.
+    """
+    import os as _os
+
+    if _os.environ.get("COLMAP_TPU_NO_WARM"):
+        return
+    cams = list(cache.cameras.values())
+    if not cams:
+        return
+    # Force backend initialization in the CALLING thread before any warm
+    # thread touches jax: concurrent first-time backend discovery races
+    # the platform plugin registration (observed: the axon TPU plugin
+    # vanishing from the registry when a warm thread and the main thread
+    # both triggered init).
+    try:
+        import jax as _jax
+
+        _jax.devices()
+    except Exception:
+        return
+
+    n_images = max(len(cache.images), 2)
+    # Homogeneous-model scenes (the common case) share one (C, P) BA
+    # signature; mixed-model problems append a model-position column and
+    # are left to neighbor warms.
+    model_ids = {int(c.model_id) for c in cams}
+    if len(model_ids) == 1:
+        model_id = model_ids.pop()
+        C = len(cams)
+        P = len(cams[0].params)
+        dtype = floatx()
+        F_top = ba._bucket_fine(n_images, 8)
+        n_pts_guess = max(
+            (len(img.points2D_xy) for img in cache.images.values()),
+            default=256,
+        )
+        N_top = ba._bucket_fine(2 * n_pts_guess, 64)
+        # Only the combos the register loop actually visits: local BAs run
+        # at F=8 with small-to-mid N; global BAs climb the F ladder with
+        # the upper N stops. ~6 warms, not the full product.
+        for F in sorted({8, min(16, F_top), F_top}):
+            lo = 64 if F == 8 else 256
+            hi = 256 if F == 8 else N_top
+            for N in (64, 128, 256, 512, 1024):
+                if lo <= N <= max(hi, lo):
+                    ba.warm_packed_solver_async(
+                        F, N, 8, C, P, model_id, PIPELINE_BA_OPTIONS, dtype
+                    )
+
+    def warm_ransacs():
+        try:
+            import jax as _jax
+
+            from colmap_tpu.estimators.pose import (
+                AbsolutePoseOptions as _APO,
+                estimate_absolute_pose as _eap,
+            )
+            from colmap_tpu.estimators.two_view_geometry import _ransac_e
+            from colmap_tpu.optim.ransac import RansacOptions as _RO
+
+            # Initial-pair essential RANSAC at the common match buckets
+            # (mirrors _estimate_initial_geometry's options exactly).
+            ropts = _RO(
+                confidence=0.999, min_num_trials=100, max_num_trials=10000,
+                min_inlier_ratio=0.25, batch_size=128,
+            )
+            for b in (256, 512):
+                z = jnp.zeros((b, 2), dtype=floatx())
+                _ransac_e(
+                    _jax.random.PRNGKey(0), z, z,
+                    jnp.zeros(b, dtype=bool), jnp.asarray(1e-3), ropts,
+                )
+            # P3P registration RANSAC + LM pose refine at the 128 bucket.
+            cam = cams[0]
+            rng = np.random.default_rng(0)
+            pts3 = rng.normal(size=(64, 3)) + np.array([0, 0, 5.0])
+            pts2 = rng.uniform(0, min(cam.width, cam.height), (64, 2))
+            _eap(
+                cam, pts2, pts3,
+                _APO(
+                    max_error_px=options.abs_pose_max_error,
+                    min_inlier_ratio=options.abs_pose_min_inlier_ratio,
+                ),
+                seed=options.seed,
+            )
+        except Exception:
+            pass
+
+    ba._warm_pool().submit(warm_ransacs)
+
+
 @dataclasses.dataclass
 class IncrementalMapperOptions:
     """reference: incremental_mapper.h Options + incremental_pipeline.h."""
@@ -741,9 +855,7 @@ class IncrementalMapper:
         if len(local_ids) < 2:
             return
         if ba_options is None:
-            ba_options = ba.BAOptions(
-                max_iterations=25, pcg_iterations=25, loss="cauchy", loss_scale=1.0
-            )
+            ba_options = PIPELINE_BA_OPTIONS
         if self._has_nontrivial_rigs():
             self._rig_local_bundle_adjustment(local_ids, ba_options)
             return
@@ -856,9 +968,7 @@ class IncrementalMapper:
         if len(reg) < 2:
             return
         if ba_options is None:
-            ba_options = ba.BAOptions(
-                max_iterations=50, pcg_iterations=50, loss="cauchy", loss_scale=1.0
-            )
+            ba_options = PIPELINE_BA_OPTIONS
         if self._has_nontrivial_rigs():
             self._rig_ba(list(recon.reg_frame_ids()), ba_options)
             return

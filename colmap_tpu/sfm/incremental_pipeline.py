@@ -60,6 +60,9 @@ class IncrementalPipeline:
         self.options = options
         self.database = database
         self.reconstructions: List[Reconstruction] = []
+        from colmap_tpu.utils.phase_timer import PhaseTimer
+
+        self.timer = PhaseTimer()
 
     def _log(self, msg):
         if self.options.verbose:
@@ -81,6 +84,11 @@ class IncrementalPipeline:
             f"Loaded database: {len(cache.images)} images, "
             f"{len(cache.correspondence_graph.image_pairs())} verified pairs"
         )
+        from colmap_tpu.sfm.incremental_mapper import (
+            warm_pipeline_programs_async,
+        )
+
+        warm_pipeline_programs_async(cache, self.options.mapper)
         mapper = IncrementalMapper(cache)
         num_images = len(cache.images)
         for _ in range(self.options.max_num_models):
@@ -98,6 +106,7 @@ class IncrementalPipeline:
         self.reconstructions.sort(key=lambda r: -r.num_reg_frames())
         if self.options.verbose:
             run_timer.print_minutes()
+        self.timer.report()
         return self.reconstructions
 
     # ------------------------------------------------------------------
@@ -105,7 +114,8 @@ class IncrementalPipeline:
         opts = self.options
         mapper.begin_reconstruction(recon)
 
-        init = mapper.find_initial_image_pair(opts.mapper)
+        with self.timer.phase("init_pair_search"):
+            init = mapper.find_initial_image_pair(opts.mapper)
         if init is None:
             # Relax constraints x2 (reference: incremental_pipeline.cc:418-445).
             relaxed = dataclasses.replace(
@@ -135,10 +145,12 @@ class IncrementalPipeline:
             for fiid in frame.image_ids():
                 if fiid not in (id1, id2):
                     mapper.triangulate_image(fiid, opts.triangulator)
-        mapper.global_bundle_adjustment(
-            ba.BAOptions(max_iterations=30, pcg_iterations=30, loss="cauchy")
-        )
-        mapper.filter_points(opts.mapper)
+        from colmap_tpu.sfm.incremental_mapper import PIPELINE_BA_OPTIONS
+
+        with self.timer.phase("global_ba"):
+            mapper.global_bundle_adjustment(PIPELINE_BA_OPTIONS)
+        with self.timer.phase("filter"):
+            mapper.filter_points(opts.mapper)
 
         last_global_frames = 2
         last_global_points = recon.num_points3D()
@@ -154,7 +166,8 @@ class IncrementalPipeline:
             ):
                 self._log("Max runtime reached")
                 break
-            next_images = mapper.find_next_images(opts.mapper)
+            with self.timer.phase("rank_next_images"):
+                next_images = mapper.find_next_images(opts.mapper)
             if not next_images:
                 break
             # reference: incremental_pipeline.cc:575-630 — structured
@@ -172,19 +185,23 @@ class IncrementalPipeline:
                     f"({recon.num_reg_frames() + 1})"
                 )
                 reg_ok = False
-                for structure_less in structure_less_flags:
-                    if structure_less:
-                        reg_ok = mapper.register_next_structure_less_image(
-                            image_id, opts.mapper
-                        )
-                        if reg_ok:
-                            self._log(
-                                f"Registered image #{image_id} structure-less"
+                with self.timer.phase("register"):
+                    for structure_less in structure_less_flags:
+                        if structure_less:
+                            reg_ok = mapper.register_next_structure_less_image(
+                                image_id, opts.mapper
                             )
-                    else:
-                        reg_ok = mapper.register_next_image(image_id, opts.mapper)
-                    if reg_ok:
-                        break
+                            if reg_ok:
+                                self._log(
+                                    f"Registered image #{image_id} "
+                                    "structure-less"
+                                )
+                        else:
+                            reg_ok = mapper.register_next_image(
+                                image_id, opts.mapper
+                            )
+                        if reg_ok:
+                            break
                 if reg_ok:
                     registered_any = True
                     # Triangulate every image of the registered frame, not
@@ -192,8 +209,9 @@ class IncrementalPipeline:
                     # incremental_pipeline.cc:651-655) — rig frames register
                     # all their cameras at once.
                     frame = recon.frames[recon.images[image_id].frame_id]
-                    for fiid in frame.image_ids():
-                        mapper.triangulate_image(fiid, opts.triangulator)
+                    with self.timer.phase("triangulate"):
+                        for fiid in frame.image_ids():
+                            mapper.triangulate_image(fiid, opts.triangulator)
                     self._iterative_local_refinement(mapper, image_id)
                     if (
                         recon.num_reg_frames()
@@ -235,15 +253,18 @@ class IncrementalPipeline:
         (incremental_pipeline.cc:1248): local BA + complete/merge + filter,
         repeated up to ba_local_max_refinements."""
         for _ in range(self.options.ba_local_max_refinements):
-            mapper.local_bundle_adjustment(image_id, self.options.mapper)
+            with self.timer.phase("local_ba"):
+                mapper.local_bundle_adjustment(image_id, self.options.mapper)
             image = mapper.recon.images[image_id]
             pts = set(
                 int(p) for p in image.points2D_p3d if p != -1
             )
-            changed = mapper.triangulator.complete_and_merge_tracks(
-                pts, self.options.triangulator
-            )
-            mapper.filter_points(self.options.mapper)
+            with self.timer.phase("complete_merge"):
+                changed = mapper.triangulator.complete_and_merge_tracks(
+                    pts, self.options.triangulator
+                )
+            with self.timer.phase("filter"):
+                mapper.filter_points(self.options.mapper)
             if changed == 0:
                 break
 
@@ -251,15 +272,20 @@ class IncrementalPipeline:
         """reference behavior: IterativeGlobalRefinement
         (incremental_pipeline.cc:1286): retriangulate + global BA + filters
         until stable (≤ ba_global_max_refinements rounds)."""
-        mapper.triangulator.complete_and_merge_tracks(
-            list(mapper.recon.points3D.keys()), self.options.triangulator
-        )
-        for _ in range(self.options.ba_global_max_refinements):
-            mapper.global_bundle_adjustment()
-            changed = mapper.triangulator.complete_and_merge_tracks(
+        with self.timer.phase("complete_merge"):
+            mapper.triangulator.complete_and_merge_tracks(
                 list(mapper.recon.points3D.keys()), self.options.triangulator
             )
-            changed += mapper.filter_points(self.options.mapper)
-            mapper.filter_frames(self.options.mapper)
+        for _ in range(self.options.ba_global_max_refinements):
+            with self.timer.phase("global_ba"):
+                mapper.global_bundle_adjustment()
+            with self.timer.phase("complete_merge"):
+                changed = mapper.triangulator.complete_and_merge_tracks(
+                    list(mapper.recon.points3D.keys()),
+                    self.options.triangulator,
+                )
+            with self.timer.phase("filter"):
+                changed += mapper.filter_points(self.options.mapper)
+                mapper.filter_frames(self.options.mapper)
             if changed == 0:
                 break
