@@ -35,11 +35,57 @@ def align_reconstructions(
     dst_centers = np.stack(
         [dst.cam_from_world(i).projection_center() for i in common]
     )
-    s, R, t = umeyama(jnp.asarray(src_centers), jnp.asarray(dst_centers))
-    from colmap_tpu.geometry import rotation as rot
+    # Host float64 Umeyama (scene/similarity_transform.cc behavior): the
+    # alignment is over tens of centers — device f32 here put a ~1e-3
+    # noise floor under every accuracy metric computed downstream (the
+    # mapper's true error is ~1e-6 deg), while costing a device round-trip.
+    s, R, t = _umeyama_f64(src_centers.astype(np.float64),
+                           dst_centers.astype(np.float64))
+    return float(s), _quat_from_rotmat_f64(R), np.asarray(t)
 
-    quat = np.asarray(rot.rotmat_to_quat(R))
-    return float(s), quat, np.asarray(t)
+
+def _quat_from_rotmat_f64(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix -> (w, x, y, z) unit quaternion, numpy float64
+    (Shepperd's max-pivot branch for numerical safety)."""
+    m00, m01, m02 = R[0]
+    m10, m11, m12 = R[1]
+    m20, m21, m22 = R[2]
+    tr = m00 + m11 + m22
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
+        q = np.array([0.25 * s, (m21 - m12) / s, (m02 - m20) / s,
+                      (m10 - m01) / s])
+    elif m00 >= m11 and m00 >= m22:
+        s = np.sqrt(1.0 + m00 - m11 - m22) * 2
+        q = np.array([(m21 - m12) / s, 0.25 * s, (m01 + m10) / s,
+                      (m02 + m20) / s])
+    elif m11 >= m22:
+        s = np.sqrt(1.0 + m11 - m00 - m22) * 2
+        q = np.array([(m02 - m20) / s, (m01 + m10) / s, 0.25 * s,
+                      (m12 + m21) / s])
+    else:
+        s = np.sqrt(1.0 + m22 - m00 - m11) * 2
+        q = np.array([(m10 - m01) / s, (m02 + m20) / s, (m12 + m21) / s,
+                      0.25 * s])
+    return q / np.linalg.norm(q)
+
+
+def _umeyama_f64(src: np.ndarray, dst: np.ndarray):
+    """Closed-form similarity transform (Umeyama 1991) in numpy float64."""
+    mu_s = src.mean(axis=0)
+    mu_d = dst.mean(axis=0)
+    cs = src - mu_s
+    cd = dst - mu_d
+    cov = cd.T @ cs / len(src)
+    U, D, Vt = np.linalg.svd(cov)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1.0
+    R = U @ S @ Vt
+    var_s = (cs ** 2).sum() / len(src)
+    s = float(np.trace(np.diag(D) @ S) / max(var_s, 1e-30))
+    t = mu_d - s * (R @ mu_s)
+    return s, R, t
 
 
 def apply_sim3(recon: Reconstruction, scale: float, quat: np.ndarray, t: np.ndarray):

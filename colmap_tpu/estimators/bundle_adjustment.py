@@ -1239,7 +1239,7 @@ def _pad_problem_buckets(problem: BAProblem, masks: BAMasks):
     F = int(problem.quat.shape[0])
     N = int(problem.points.shape[0])
     F_pad = _bucket_fine(F, 8)
-    N_pad = _bucket_fine(N, 64)
+    N_pad = _bucket_fine(N, 256)
     if F_pad == F and N_pad == N:
         return problem, masks, (F, N)
     dtype = problem.points.dtype
@@ -1381,10 +1381,12 @@ def _schedule_neighbor_warms(F: int, N: int, capp: int, C: int, P: int,
         pass
     F2 = F * 2 if (max_frames is None or F < _bucket_fine(max_frames, 8)) \
         else F
-    for nf, nn, nc in (
-        (F2, N, capp), (F, N * 2, capp), (F2, N * 2, capp),
-        (F, N, capp * 2), (F, N * 2, capp * 2), (F2, N * 2, capp * 2),
-    ):
+    # Keep speculation narrow: a wide neighbor fan queues 25 s compiles
+    # the run never uses AND delays the ones it does (the compile service
+    # processes warms and foreground requests from the same queue;
+    # measured r5: a 6-neighbor fan produced 20 live LM programs on a
+    # 15-frame scene).
+    for nf, nn, nc in ((F, N * 2, capp), (F2, N * 2, capp)):
         if (nf, nn, nc) != (F, N, capp):
             warm_packed_solver_async(nf, nn, nc, C, P, model_id, options,
                                      dtype)
@@ -1414,7 +1416,11 @@ def solve_packed(problem: BAProblem, model_id: int,
             _np.asarray(problem.obs_point),
             minlength=problem.points.shape[0],
         )
-        capp_kw["capp"] = _bucket_fine(int(counts_p.max(initial=1)), 8)
+        # Floor 16: track lengths cross 8 routinely as a scene grows, and
+        # every capp doubling doubles the live (F, N, capp) program
+        # lattice. 16 slots/point of padded compute is noise on the MXU;
+        # a fresh 25 s LM compile is not.
+        capp_kw["capp"] = _bucket_fine(int(counts_p.max(initial=1)), 16)
         C, P = problem.cam_params.shape
         shape_args = (
             int(problem.quat.shape[0]), int(problem.points.shape[0]),

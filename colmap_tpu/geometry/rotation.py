@@ -10,6 +10,7 @@ src/colmap/geometry/rigid3.h — re-designed as array programs).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -42,6 +43,7 @@ def quat_multiply(q1, q2):
     )
 
 
+@jax.jit
 def quat_rotate(q, v):
     """Rotate vectors ``v`` (..., 3) by unit quaternions ``q`` (..., 4)."""
     w = q[..., :1]
@@ -51,6 +53,7 @@ def quat_rotate(q, v):
     return v + 2.0 * (w * uv + jnp.cross(u, uv))
 
 
+@jax.jit
 def quat_to_rotmat(q):
     """Unit quaternion → rotation matrix (..., 3, 3)."""
     w, x, y, z = jnp.moveaxis(q, -1, 0)
@@ -68,6 +71,7 @@ def quat_to_rotmat(q):
     return m.reshape(m.shape[:-1] + (3, 3))
 
 
+@jax.jit
 def rotmat_to_quat(m):
     """Rotation matrix (..., 3, 3) → unit quaternion, branch-free.
 
@@ -117,6 +121,7 @@ def quat_from_axis_angle(axis, angle):
     )
 
 
+@jax.jit
 def quat_angle(q1, q2=None):
     """Rotation angle (radians) of q1, or of relative rotation q1⁻¹ q2."""
     if q2 is not None:

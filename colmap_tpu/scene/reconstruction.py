@@ -203,25 +203,63 @@ class Reconstruction:
     def update_point3D_errors(self):
         """Recompute per-point mean reprojection errors.
 
-        reference behavior: Reconstruction::UpdatePoint3DErrors.
+        reference behavior: Reconstruction::UpdatePoint3DErrors. All
+        observations are gathered on host and projected in ONE bucketed
+        device call per camera model (the per-observation form cost one
+        dispatch per track element — 115 s of an 8-frame mapping run).
         """
-        for point in self.points3D.values():
-            errs = []
+        import jax.numpy as jnp
+
+        from colmap_tpu.utils.bucketing import bucket_size, pad_rows
+
+        pids = list(self.points3D.keys())
+        if not pids:
+            return
+        # Camera-space points via cached per-image rotations (host numpy).
+        rot_cache = {}
+        by_model = {}
+        for pid in pids:
+            point = self.points3D[pid]
             for el in point.track:
                 image = self.images[el.image_id]
                 camera = self.cameras[image.camera_id]
-                cam_from_world = self.cam_from_world(el.image_id)
-                uvw = cam_from_world.apply(point.xyz[None])[0]
-                import jax.numpy as jnp
-
-                xy, valid = camera_models.img_from_cam(
-                    camera.model_id, jnp.asarray(camera.params), jnp.asarray(uvw)
-                )
-                if bool(valid):
-                    errs.append(
-                        float(np.linalg.norm(np.asarray(xy) - image.points2D_xy[el.point2D_idx]))
-                    )
-            point.error = float(np.mean(errs)) if errs else -1.0
+                if el.image_id not in rot_cache:
+                    pose = self.cam_from_world(el.image_id)
+                    P34 = pose.matrix3x4()
+                    rot_cache[el.image_id] = (P34[:, :3], P34[:, 3])
+                R, t = rot_cache[el.image_id]
+                g = by_model.setdefault(int(camera.model_id), {
+                    "Xc": [], "xy": [], "params": [], "pid": []
+                })
+                g["Xc"].append(R @ point.xyz + t)
+                g["xy"].append(image.points2D_xy[el.point2D_idx])
+                g["params"].append(camera.params)
+                g["pid"].append(pid)
+        err_sum = {pid: 0.0 for pid in pids}
+        err_cnt = {pid: 0 for pid in pids}
+        for model_id, g in by_model.items():
+            n = len(g["Xc"])
+            b = bucket_size(n, 256)
+            Xc = pad_rows(np.asarray(g["Xc"], dtype=np.float64), b)
+            Xc[n:, 2] = 1.0
+            params = np.asarray(g["params"], dtype=np.float64)
+            params_p = pad_rows(params, b)
+            params_p[n:] = params[0]
+            proj, valid = camera_models.img_from_cam(
+                model_id, jnp.asarray(params_p), jnp.asarray(Xc)
+            )
+            err = np.linalg.norm(
+                np.asarray(proj)[:n] - np.asarray(g["xy"]), axis=-1
+            )
+            ok = np.asarray(valid)[:n] & (np.asarray(g["Xc"])[:, 2] > 0)
+            for pid, e, o in zip(g["pid"], err, ok):
+                if o:
+                    err_sum[pid] += float(e)
+                    err_cnt[pid] += 1
+        for pid in pids:
+            self.points3D[pid].error = (
+                err_sum[pid] / err_cnt[pid] if err_cnt[pid] else -1.0
+            )
 
     def compute_centroid(self, min_percentile=0.0, max_percentile=1.0) -> np.ndarray:
         if not self.points3D:

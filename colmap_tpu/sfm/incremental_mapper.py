@@ -107,17 +107,18 @@ def warm_pipeline_programs_async(cache: DatabaseCache,
             (len(img.points2D_xy) for img in cache.images.values()),
             default=256,
         )
-        N_top = ba._bucket_fine(2 * n_pts_guess, 64)
-        # Only the combos the register loop actually visits: local BAs run
-        # at F=8 with small-to-mid N; global BAs climb the F ladder with
-        # the upper N stops. ~6 warms, not the full product.
+        N_top = ba._bucket_fine(2 * n_pts_guess, 256)
+        # Only the combos the register loop actually visits (floors:
+        # N=256, capp=16 — see solve_packed): local BAs run at F=8,
+        # global BAs climb the F ladder with the upper N stops. The
+        # FIRST-needed program (8, 256) goes first so the init BA's
+        # foreground wait is as short as possible.
         for F in sorted({8, min(16, F_top), F_top}):
-            lo = 64 if F == 8 else 256
-            hi = 256 if F == 8 else N_top
-            for N in (64, 128, 256, 512, 1024):
-                if lo <= N <= max(hi, lo):
+            hi = 512 if F == 8 else N_top
+            for N in (256, 512, 1024):
+                if N <= max(hi, 256):
                     ba.warm_packed_solver_async(
-                        F, N, 8, C, P, model_id, PIPELINE_BA_OPTIONS, dtype
+                        F, N, 16, C, P, model_id, PIPELINE_BA_OPTIONS, dtype
                     )
 
     def warm_ransacs():
