@@ -126,6 +126,18 @@ def main():
     if os.environ.get("COLMAP_TPU_BENCH_FAST"):
         return
 
+    # Compile the mapping/AUC extras' programs in the background while the
+    # cheaper extras run: their shapes are fixed by the bench configs, and
+    # the initial-pair RANSAC alone costs ~60 s of XLA compile that would
+    # otherwise land inside the mapping budget.
+    try:
+        from benchmarks.warm import schedule_mapping_warms
+
+        schedule_mapping_warms()
+    except Exception as exc:
+        print(f"[bench] mapping warm scheduling failed: {exc!r}",
+              file=sys.stderr)
+
     # (bench fn, wall budget seconds) cheapest-first; PatchMatch sizes last
     # (small size first so a px/s number is recorded before the big one).
     extras = [

@@ -55,8 +55,14 @@ from colmap_tpu.utils.dtypes import floatx
 # historical variants (30/30, 25/25, 50/50) into one compile per bucket.
 # The while_loop exits early on function_tolerance, so a generous
 # max_iterations costs nothing on converged solves.
+# solver_type "pcg": the dense-Schur path XLA-compiles 5x slower (10.1 s
+# vs 2.0 s measured on the v5e relay at the pipeline's bucket sizes) for
+# identical small-problem solve quality; the register loop compiles a
+# handful of these programs per scene, so program build cost dominates
+# solver choice at this scale.
 PIPELINE_BA_OPTIONS = ba.BAOptions(
-    max_iterations=50, pcg_iterations=30, loss="cauchy", loss_scale=1.0
+    max_iterations=50, pcg_iterations=30, loss="cauchy", loss_scale=1.0,
+    solver_type="pcg",
 )
 
 
