@@ -142,14 +142,19 @@ def main():
     # (small size first so a px/s number is recorded before the big one).
     extras = [
         (rt.bench_matching, 180),
-        (rt.bench_verification, 300),
+        # Verification compiled in 77 s in the r4 driver run but ~330 s on
+        # the same code cold in r5 (remote-compile service variance);
+        # budget for the slow case — a recorded number beats a timeout.
+        (rt.bench_verification, 420),
         (rt.bench_extraction, 240),
         (rt.bench_retrieval_1k, 300),
         (rt.bench_evaluate_auc, 420),
         (rt.bench_incremental_mapping, 420),
         (rt.bench_ba_sharded_scaling, 420),
         (rt.bench_patch_match, 240),
-        (rt.bench_patch_match_480, 300),
+        # 480x640 measured 241 s wall in r4 (compile + one run) — 300 s
+        # left no headroom and any contention tipped it into timeout.
+        (rt.bench_patch_match_480, 420),
     ]
     for bench, budget in extras:
         t0 = time.perf_counter()

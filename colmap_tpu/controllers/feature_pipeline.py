@@ -121,9 +121,33 @@ def run_feature_extraction(
     model_id = camera_models.MODEL_NAME_TO_ID[reader_options.camera_model]
     camera_id = None
     image_ids = []
-    for name in image_names:
+
+    # Reader prefetch (reference: the bounded reader->extractor JobQueue of
+    # controllers/feature_extraction.cc:86-470): a worker thread decodes +
+    # EXIF-reads ahead of the device extractor, bounded to 4 in flight so
+    # host decode overlaps device extraction without unbounded memory. DB
+    # writes stay on this (sqlite-owning) thread.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _read_one(name):
         path = os.path.join(image_dir, name)
         img = _load_image_gray(path)
+        exif = read_exif(path)
+        return name, path, img, exif
+
+    reader = ThreadPoolExecutor(max_workers=1, thread_name_prefix="img-read")
+    pending = []
+    AHEAD = 4
+    name_iter = iter(image_names)
+    for name in image_names[:AHEAD]:
+        pending.append(reader.submit(_read_one, name))
+        next(name_iter)
+
+    while pending:
+        name, path, img, exif_cached = pending.pop(0).result()
+        nxt = next(name_iter, None)
+        if nxt is not None:
+            pending.append(reader.submit(_read_one, nxt))
         h, w = img.shape
         if camera_id is None or not reader_options.single_camera:
             # EXIF focal (35mm-equivalent or mm + sensor-width lookup),
@@ -131,7 +155,7 @@ def run_feature_extraction(
             # controllers/image_reader.cc camera init + sensor/specs.*.
             from colmap_tpu.sensor.specs import focal_length_px_from_exif
 
-            exif = read_exif(path)
+            exif = exif_cached
             focal, has_prior = focal_length_px_from_exif(
                 exif, w, h, reader_options.default_focal_length_factor
             )
@@ -153,7 +177,7 @@ def run_feature_extraction(
         image_id = database.write_image(name, camera_id)
         # EXIF GPS -> WGS84 pose prior (reference: image_reader.cc pose
         # prior from GPS, coordinate_system=WGS84 which is enum value 0).
-        exif_gps = read_exif(path)
+        exif_gps = exif_cached
         if "latitude" in exif_gps and "longitude" in exif_gps:
             database.write_pose_prior(
                 image_id,
@@ -198,6 +222,7 @@ def run_feature_extraction(
         )
         database.write_descriptors(image_id, desc)
         image_ids.append(image_id)
+    reader.shutdown(wait=False)
     database.commit()
     return image_ids
 

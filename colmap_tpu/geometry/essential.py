@@ -62,7 +62,6 @@ def decompose_essential_matrix(E):
     return R1, R2, t
 
 
-@jax.jit
 def triangulate_point_dlt(proj1, proj2, x1, x2):
     """Two-view DLT triangulation.
 
@@ -92,7 +91,6 @@ def calc_depth(proj, X):
     return z * jnp.linalg.norm(proj[..., 2, :3], axis=-1)
 
 
-@jax.jit
 def pose_from_essential_matrix(E, x1, x2, mask=None):
     """Recover cam2_from_cam1 from E + matched normalized points.
 
@@ -140,7 +138,6 @@ def pose_from_essential_matrix(E, x1, x2, mask=None):
     return Rb, tb, Xb, counts[best], okb
 
 
-@jax.jit
 def sampson_error(E, x1, x2):
     """First-order geometric error of the epipolar constraint.
 
@@ -164,7 +161,6 @@ def sampson_error(E, x1, x2):
     return x2tEx1**2 / jnp.maximum(denom, 1e-30)
 
 
-@jax.jit
 def squared_epipolar_line_distance(F, x1, x2):
     """Squared point-to-epipolar-line distance of x2 to F x1.
     (Component broadcast form — see sampson_error.)"""

@@ -13,7 +13,6 @@ import jax.numpy as jnp
 from colmap_tpu.geometry.essential import calc_depth, triangulate_point_dlt  # noqa: F401
 
 
-@jax.jit
 def triangulate_multi_view(proj_matrices, points, mask=None):
     """N-view triangulation via the smallest eigenvector of AᵀA.
 
@@ -47,7 +46,6 @@ def triangulate_multi_view(proj_matrices, points, mask=None):
     return Xh[..., :3] / safe_w[..., None]
 
 
-@jax.jit
 def triangulate_midpoint(centers, rays):
     """Least-squares intersection of rays (midpoint method).
 
@@ -62,7 +60,6 @@ def triangulate_midpoint(centers, rays):
     return jnp.linalg.solve(A, b)
 
 
-@jax.jit
 def triangulation_angle(center1, center2, point3D):
     """Angle (radians) at the 3D point between the two viewing rays.
 
