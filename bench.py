@@ -150,6 +150,7 @@ def main():
         (rt.bench_retrieval_1k, 300),
         (rt.bench_evaluate_auc, 420),
         (rt.bench_incremental_mapping, 420),
+        (rt.bench_global_mapping, 420),
         (rt.bench_ba_sharded_scaling, 420),
         (rt.bench_patch_match, 240),
         # 480x640 measured 241 s wall in r4 (compile + one run) — 300 s

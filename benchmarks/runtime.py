@@ -407,6 +407,48 @@ def bench_incremental_mapping(num_frames: int = 15,
     }
 
 
+def bench_global_mapping(num_frames: int = 12, num_points: int = 200) -> Dict:
+    """Global-SfM frames/s on the realistic decomposed-E path (no stored
+    relative poses): VGC -> decompose -> rotation averaging -> positioning
+    -> joint BA -> retriangulate -> prune. SURVEY §2.5 names this vertical
+    the primary multi-chip target (reference: glomap-style
+    controllers/global_pipeline.cc)."""
+    from colmap_tpu.estimators.alignment import compare_reconstructions
+    from colmap_tpu.scene.database import Database
+    from colmap_tpu.scene.synthetic import (
+        SyntheticDatasetOptions, synthesize_dataset,
+    )
+    from colmap_tpu.sfm.global_pipeline import (
+        GlobalPipeline, GlobalPipelineOptions,
+    )
+
+    db = Database(":memory:")
+    options = SyntheticDatasetOptions(
+        num_rigs=1, num_cameras_per_rig=1, num_frames_per_rig=num_frames,
+        num_points3D=num_points,
+    )
+    gt = synthesize_dataset(options, db)
+    start = time.perf_counter()
+    recon = GlobalPipeline(GlobalPipelineOptions(), db).run()
+    elapsed = time.perf_counter() - start
+    n_reg = recon.num_reg_frames() if recon is not None else 0
+    stats = compare_reconstructions(recon, gt) if recon is not None else {}
+    return {
+        "metric": f"global_mapping_frames_per_s_{num_frames}f",
+        "value": round(n_reg / elapsed, 3),
+        "unit": "frames/s",
+        "detail": {
+            "registered": n_reg,
+            "total": num_frames,
+            "points3D": recon.num_points3D() if recon is not None else 0,
+            "seconds": round(elapsed, 2),
+            "max_rotation_error_deg": round(
+                stats.get("max_rotation_error_deg", float("inf")), 6
+            ),
+        },
+    }
+
+
 def bench_patch_match_480(n_src: int = 8, n_iterations: int = 1) -> Dict:
     # One iteration: the 2-iteration config ran ~240 s/run on the TPU and
     # blew its 300 s driver budget (px/s is per-pixel-swept, so the rate is
@@ -510,6 +552,7 @@ ALL_BENCHES = [
     bench_patch_match,
     bench_patch_match_480,
     bench_incremental_mapping,
+    bench_global_mapping,
     bench_evaluate_auc,
 ]
 
