@@ -529,11 +529,25 @@ def cam_from_img(model_id, params, xy):
     vv = (y - cy) / fy
     extra = _extra(mid, params)
     if extra:
-        undist = jnp.vectorize(
-            lambda a, b: jnp.stack(_newton_undistort(dist_fn, extra, a, b)),
-            signature="(),()->(2)",
+        # Vectorize the distortion params ALONGSIDE the coordinates:
+        # row-batched params (the batched pair-verification path passes
+        # per-row camera params) must enter the per-point Newton solve as
+        # scalars, not leak their batch shape into the scan carry via the
+        # closure.
+        n_extra = len(extra)
+        extra_arr = jnp.broadcast_to(
+            jnp.stack(jnp.broadcast_arrays(*extra), axis=-1)
+            if n_extra > 1 else extra[0][..., None],
+            uu.shape + (n_extra,),
         )
-        uv = undist(uu, vv)
+        undist = jnp.vectorize(
+            lambda e, a, b: jnp.stack(
+                _newton_undistort(dist_fn, [e[i] for i in range(n_extra)],
+                                  a, b)
+            ),
+            signature="(e),(),()->(2)",
+        )
+        uv = undist(extra_arr, uu, vv)
         uu, vv = uv[..., 0], uv[..., 1]
     if is_fisheye:
         uu, vv = _normal_from_fisheye(uu, vv)
