@@ -15,6 +15,14 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
+# No background compile warming under tests: concurrent warm-thread and
+# main-thread XLA:CPU compiles in one long-lived process can segfault
+# inside backend_compile_and_load (reproduced at test_rig_mapper with the
+# r5 warm pool; same crash class as the historical serial-suite failure).
+# Warming exists to hide compile latency in pipelines/benches, which tests
+# do not measure.
+os.environ.setdefault("COLMAP_TPU_NO_WARM", "1")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -6,8 +6,23 @@ synthetic scenes) and incremental_pipeline_test.cc (ReconstructionNear
 bounds 1e-2 deg / 1e-4 u on noise-free data).
 """
 
+import jax
 import numpy as np
 import pytest
+
+
+@pytest.fixture(autouse=True)
+def _drop_executables_between_tests():
+    """Release live XLA:CPU executables after each pipeline E2E test.
+
+    Two full incremental-pipeline runs in one process push the live
+    executable count past the threshold where the NEXT
+    backend_compile_and_load segfaults (the historical serial-suite
+    crash, reproduced in this module alone in r5). Clearing between
+    tests keeps each test's compile load fresh; the persistent on-disk
+    cache keeps the recompiles cheap."""
+    yield
+    jax.clear_caches()
 
 from colmap_tpu.estimators.alignment import compare_reconstructions
 from colmap_tpu.scene.database import Database
