@@ -148,8 +148,11 @@ def main():
         (rt.bench_verification, 420),
         (rt.bench_extraction, 240),
         (rt.bench_retrieval_1k, 300),
-        (rt.bench_evaluate_auc, 420),
+        # Mapping first: it absorbs the register-loop's cold compiles
+        # (315 s cold measured) so the two-pass AUC harness that follows
+        # runs warm (~230 s for noise-free + 0.5 px noisy).
         (rt.bench_incremental_mapping, 420),
+        (rt.bench_evaluate_auc, 420),
         (rt.bench_global_mapping, 420),
         (rt.bench_ba_sharded_scaling, 420),
         (rt.bench_patch_match, 240),

@@ -465,6 +465,12 @@ def bench_evaluate_auc(num_frames: int = 12, num_points: int = 200) -> Dict:
 
     report = evaluate(num_frames=num_frames, num_points=num_points,
                       num_seeds=1, mapper="incremental")
+    # Second pass with half-pixel observation noise: the noise-free AUC
+    # saturates at 1.0, so the noisy run is the informative accuracy
+    # anchor (reference harness evaluates under noise too).
+    noisy = evaluate(num_frames=num_frames, num_points=num_points,
+                     num_seeds=1, mapper="incremental",
+                     point2D_stddev=0.5)
     return {
         "metric": f"eval_mean_rotation_auc_{num_frames}f",
         "value": round(report["mean_rotation_auc"], 4),
@@ -473,6 +479,10 @@ def bench_evaluate_auc(num_frames: int = 12, num_points: int = 200) -> Dict:
             "mean_center_auc": round(report["mean_center_auc"], 4),
             "mapping_frames_per_s": round(report["mean_frames_per_s"], 3),
             "registration_rate": report["registration_rate"],
+            "noisy0.5px_rotation_auc": round(
+                noisy["mean_rotation_auc"], 4),
+            "noisy0.5px_center_auc": round(noisy["mean_center_auc"], 4),
+            "noisy0.5px_registration_rate": noisy["registration_rate"],
         },
     }
 
